@@ -1,0 +1,547 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Each query key maps to (a) a Spark callable ``(spark, sf_dir) -> DataFrame``
+that exercises engine code (hash functions, latest-per-key, the full vault
+replay) and (b) an ANSI-SQL oracle string DuckDB runs on the same parquet
+tables. Column names/aliases match exactly on both sides; float aggregates
+are decimal-cast (order-independent, exact) or rounded doubles so the
+driver's value-hash compare is stable.
+
+The CDC queries run over a transcript change-event stream DERIVED
+deterministically from the driver's ``events`` table (so the oracle can
+derive the identical stream in SQL): conv_id from user_id, turn_idx from
+event_id, op from event_type, a binlog envelope (seq, op, batch_id).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyelt_spark.functions.hashing import NULL_TOKEN, SEP, hash_key, hashdiff
+from pyelt_spark.operators.dedup import latest_per_key
+from pyelt_spark.plans.pipeline import TranscriptVault
+from pyelt_spark.streaming.runner import MicrobatchRunner
+
+# --------------------------------------------------------------------------
+# shared table access
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(c: str, scale: int = 4) -> Column:
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# --------------------------------------------------------------------------
+# derived transcript change-event stream (Spark + SQL twins)
+# --------------------------------------------------------------------------
+
+EVENTS_BATCH_SIZE = 2500
+
+
+def derived_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    turn = (F.col("event_id") % 16).cast("int")
+    role = (
+        F.when(turn % 3 == 0, "user").when(turn % 3 == 1, "assistant").otherwise("tool")
+    )
+    return e.select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        F.concat(
+            F.col("event_type"),
+            F.lit(" "),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        ).alias("text"),
+        F.when(
+            turn % 3 == 2,
+            F.concat(F.lit("tool_"), F.regexp_extract("props", "[0-9]+", 0)),
+        ).otherwise(F.lit(None).cast("string")).alias("tool"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.floor(F.col("event_id") / EVENTS_BATCH_SIZE).cast("long").alias("batch_id"),
+    )
+
+
+EV_CTE = f"""
+ev AS (
+  SELECT
+    concat('conv-', CAST(user_id AS VARCHAR)) AS conv_id,
+    CAST(event_id % 16 AS INTEGER) AS turn_idx,
+    CASE CAST(event_id % 16 AS INTEGER) % 3
+      WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+    concat(event_type, ' ', CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)) AS text,
+    CASE WHEN CAST(event_id % 16 AS INTEGER) % 3 = 2
+      THEN concat('tool_', regexp_extract(props, '[0-9]+'))
+      ELSE NULL END AS tool,
+    ts,
+    event_id AS seq,
+    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+    CAST(floor(event_id / {EVENTS_BATCH_SIZE}) AS BIGINT) AS batch_id
+  FROM events
+)
+"""
+
+# payload content canonicalization twin of functions.hashing (SEP=\\x1f=chr(31),
+# NULL_TOKEN=\\x00=chr(0))
+SQL_CONTENT = (
+    "concat(coalesce(role, chr(0)), chr(31), coalesce(text, chr(0)), "
+    "chr(31), coalesce(tool, chr(0)))"
+)
+
+
+# --------------------------------------------------------------------------
+# vault replay (memoized per sf_dir)
+# --------------------------------------------------------------------------
+
+_VAULTS: dict[str, TranscriptVault] = {}
+
+
+def replayed_vault(spark: SparkSession, sf_dir: str) -> TranscriptVault:
+    if sf_dir not in _VAULTS:
+        root = tempfile.mkdtemp(prefix="pyelt_spark_vault_")
+        vault = TranscriptVault(spark, root, num_buckets=16)
+        ev = derived_events(spark, sf_dir).persist()
+        MicrobatchRunner(vault).replay(ev)
+        ev.unpersist()
+        _VAULTS[sf_dir] = vault
+    return _VAULTS[sf_dir]
+
+
+# --------------------------------------------------------------------------
+# CDC queries (engine replay vs SQL oracle)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_current_turns(spark, sf_dir):
+    """Final current-state after full engine replay: per-turn text equality
+    under stable turn ordering (BASELINE.json invariant)."""
+    v = replayed_vault(spark, sf_dir)
+    return v.current_turns().select("conv_id", "turn_idx", "role", "text", "tool")
+
+
+SQL_CDC_CURRENT_TURNS = f"""
+WITH {EV_CTE},
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, role, text, tool
+FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_scd2_history(spark, sf_dir):
+    """Full SCD2 satellite after replay: every version with _runid,
+    _revision, _active, _insert_ts — the bit-for-bit replay check."""
+    v = replayed_vault(spark, sf_dir)
+    s = v.sat_merge.sys
+    return v.sat.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col(s.runid).alias("_runid"),
+        F.col(s.revision).alias("_revision"),
+        F.col(s.active).alias("_active"),
+        F.col(s.insert_ts).alias("_insert_ts"),
+    )
+
+
+SQL_CDC_SCD2_HISTORY = f"""
+WITH {EV_CTE},
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, batch_id ORDER BY seq DESC) AS rn
+  FROM ev
+),
+c1 AS (SELECT * FROM cand WHERE rn = 1),
+chain AS (
+  SELECT *,
+    CASE WHEN op = 'D' THEN NULL ELSE {SQL_CONTENT} END AS content,
+    lag(CASE WHEN op = 'D' THEN NULL ELSE {SQL_CONTENT} END)
+      OVER (PARTITION BY conv_id, turn_idx ORDER BY batch_id) AS prev_content
+  FROM c1
+),
+applied AS (
+  SELECT * FROM chain
+  WHERE op <> 'D' AND (content IS DISTINCT FROM prev_content)
+),
+lasta AS (SELECT conv_id, turn_idx, max(batch_id) AS la FROM applied GROUP BY 1, 2),
+lastd AS (SELECT conv_id, turn_idx, max(batch_id) AS ld FROM c1 WHERE op = 'D' GROUP BY 1, 2)
+SELECT a.conv_id, a.turn_idx, a.role, a.text, a.tool,
+  a.batch_id AS _runid,
+  row_number() OVER (PARTITION BY a.conv_id, a.turn_idx ORDER BY a.batch_id) - 1 AS _revision,
+  (a.batch_id = lasta.la AND (lastd.ld IS NULL OR lastd.ld < lasta.la)) AS _active,
+  a.ts AS _insert_ts
+FROM applied a
+JOIN lasta USING (conv_id, turn_idx)
+LEFT JOIN lastd USING (conv_id, turn_idx)
+"""
+
+
+def q_cdc_hub_conversations(spark, sf_dir):
+    v = replayed_vault(spark, sf_dir)
+    return v.hub.read().select("_key", "type", "bk", "conv_id", "_runid", "_insert_ts")
+
+
+SQL_CDC_HUB = f"""
+WITH {EV_CTE}
+SELECT sha256(conv_id) AS _key, 'conversation' AS type, conv_id AS bk, conv_id,
+  min(batch_id) AS _runid, min(ts) AS _insert_ts
+FROM ev WHERE op <> 'D'
+GROUP BY conv_id
+"""
+
+
+def q_cdc_tool_link(spark, sf_dir):
+    v = replayed_vault(spark, sf_dir)
+    return v.link.read().select(
+        "_key", "bk", "conv_id", "tool", "fk_conversation", "fk_tool",
+        "_runid", "_insert_ts",
+    )
+
+
+SQL_CDC_TOOL_LINK = f"""
+WITH {EV_CTE}
+SELECT sha256(concat(conv_id, chr(31), tool)) AS _key,
+  concat(conv_id, '.', tool) AS bk, conv_id, tool,
+  sha256(conv_id) AS fk_conversation, sha256(tool) AS fk_tool,
+  min(batch_id) AS _runid, min(ts) AS _insert_ts
+FROM ev WHERE op <> 'D' AND tool IS NOT NULL
+GROUP BY conv_id, tool
+"""
+
+
+def q_cdc_latest_per_key(spark, sf_dir):
+    """The dedup operator standalone (DISTINCT ON semantics, etl.py:576)."""
+    ev = derived_events(spark, sf_dir)
+    out = latest_per_key(ev, ["conv_id", "turn_idx"], ["seq"])
+    return out.select(
+        "conv_id", "turn_idx",
+        F.col("seq").alias("last_seq"), F.col("op").alias("last_op"), "text",
+    )
+
+
+SQL_CDC_LATEST_PER_KEY = f"""
+WITH {EV_CTE},
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, seq AS last_seq, op AS last_op, text
+FROM latest WHERE rn = 1
+"""
+
+
+def q_cdc_changed_rows(spark, sf_dir):
+    """Hashdiff change-mark operator: events whose payload differs from the
+    key's previous event (etl.py:236-238 semantics as a change-log scan)."""
+    from pyspark.sql import Window
+
+    ev = derived_events(spark, sf_dir).filter(F.col("op") != "D")
+    hd = hashdiff(["role", "text", "tool"])
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("seq")
+    out = (
+        ev.withColumn("_hd", hd)
+        .withColumn("_prev", F.lag("_hd").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_hd") != F.col("_prev")))
+    )
+    return out.select("conv_id", "turn_idx", "seq", "text")
+
+
+SQL_CDC_CHANGED_ROWS = f"""
+WITH {EV_CTE},
+u AS (SELECT * FROM ev WHERE op <> 'D'),
+chain AS (
+  SELECT *, {SQL_CONTENT} AS content,
+    lag({SQL_CONTENT}) OVER (PARTITION BY conv_id, turn_idx ORDER BY seq) AS prev_content
+  FROM u
+)
+SELECT conv_id, turn_idx, seq, text
+FROM chain WHERE prev_content IS NULL OR content <> prev_content
+"""
+
+
+def q_cdc_dup_key_validation(spark, sf_dir):
+    """Duplicate-key validation (etl.py:349-371): (batch, key) groups with
+    more than one event."""
+    ev = derived_events(spark, sf_dir)
+    return (
+        ev.groupBy("batch_id", "conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+SQL_CDC_DUP_KEY = f"""
+WITH {EV_CTE}
+SELECT batch_id, conv_id, turn_idx, count(*) AS n_rows
+FROM ev GROUP BY 1, 2, 3 HAVING count(*) > 1
+"""
+
+
+def q_cdc_delete_detection(spark, sf_dir):
+    """Keys whose final event is a tombstone (etl.py:180-183)."""
+    ev = derived_events(spark, sf_dir)
+    last = latest_per_key(ev, ["conv_id", "turn_idx"], ["seq"])
+    return last.filter(F.col("op") == "D").select(
+        "conv_id", "turn_idx", F.col("seq").alias("deleted_seq")
+    )
+
+
+SQL_CDC_DELETES = f"""
+WITH {EV_CTE},
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ev
+)
+SELECT conv_id, turn_idx, seq AS deleted_seq
+FROM latest WHERE rn = 1 AND op = 'D'
+"""
+
+
+# --------------------------------------------------------------------------
+# relational coverage (TPC-H-shaped; decimal-exact aggregates)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    )
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+            ).cast("decimal(38,8)").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+  count(*) AS count_order,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+            ).cast("decimal(38,8)").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Broadcast-join chain over the dimension tables (small dims are
+    broadcast — no shuffle of lineitem beyond the final agg)."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+            ).cast("decimal(38,8)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+  FROM orders
+) WHERE rank_in_cust <= 3
+"""
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("decimal(38,4)").alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) — the batch analog of a
+    stateful streaming session window."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("_new", starts)
+        .withColumn("session_num", F.sum("_new").over(wsum))
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_num")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM g
+)
+SELECT user_id, session_num, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_current_turns": q_cdc_current_turns,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_hub_conversations": q_cdc_hub_conversations,
+    "cdc_tool_link": q_cdc_tool_link,
+    "cdc_latest_per_key": q_cdc_latest_per_key,
+    "cdc_changed_rows": q_cdc_changed_rows,
+    "cdc_dup_key_validation": q_cdc_dup_key_validation,
+    "cdc_delete_detection": q_cdc_delete_detection,
+    "q1_pricing_summary": q_pricing_summary,
+    "q3_shipping_priority": q_shipping_priority,
+    "q5_nation_revenue": q_nation_revenue,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "events_hourly_rollup": q_events_hourly_rollup,
+    "events_sessionize": q_events_sessionize,
+}
+
+ORACLES = {
+    "cdc_current_turns": SQL_CDC_CURRENT_TURNS,
+    "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
+    "cdc_hub_conversations": SQL_CDC_HUB,
+    "cdc_tool_link": SQL_CDC_TOOL_LINK,
+    "cdc_latest_per_key": SQL_CDC_LATEST_PER_KEY,
+    "cdc_changed_rows": SQL_CDC_CHANGED_ROWS,
+    "cdc_dup_key_validation": SQL_CDC_DUP_KEY,
+    "cdc_delete_detection": SQL_CDC_DELETES,
+    "q1_pricing_summary": SQL_PRICING_SUMMARY,
+    "q3_shipping_priority": SQL_SHIPPING_PRIORITY,
+    "q5_nation_revenue": SQL_NATION_REVENUE,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "events_hourly_rollup": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

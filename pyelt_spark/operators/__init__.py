@@ -1,0 +1,2 @@
+from pyelt_spark.operators.dedup import latest_per_key  # noqa: F401
+from pyelt_spark.operators.scd2 import Scd2Merge, ScdColumns  # noqa: F401

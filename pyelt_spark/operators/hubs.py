@@ -1,0 +1,120 @@
+"""Hub and link merges: insert-only registries of business keys.
+
+Reference semantics: a hub holds one row per distinct business key,
+insert-only, loaded via ``SELECT DISTINCT bk ... WHERE NOT EXISTS (SELECT 1
+FROM hub WHERE bk = ...)`` (pyelt/process/etl.py:433-439); a link is the
+same pattern over a composite of hub keys with null-safe FK comparison
+(etl.py:711-716, :796-809).
+
+Spark shape: ``distinct`` on the (already deduped) batch → anti-join
+against the pruned state read → rewrite only the new keys' buckets. Because
+surrogate keys are SHA-256 hashes of the business key (not serials), hub,
+sat and link merges all run independently from the same deduped batch — no
+sequential ``UPDATE sor SET fk_hub = hub._id`` writeback round-trip
+(etl.py:447-450) is needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyelt_spark.functions.hashing import business_key, hash_key
+from pyelt_spark.storage.lake import BUCKET_COL, LakeTable, bucket_expr
+
+
+@dataclass
+class HubMerge:
+    """Insert-only hub of distinct business keys.
+
+    Hub row shape mirrors dv.py:48-51: hash key, type, bk text, plus
+    ``_runid`` / ``_insert_ts`` / ``_source_system`` system columns.
+    """
+
+    business_keys: list[str]
+    hub_type: str = "hub"
+    ts_col: str = "ts"
+    source_system: str = "events"
+    key_col: str = "_key"
+
+    def _extra_cols(self) -> list[Column]:
+        """Deterministic derived columns (functions of the business keys)."""
+        return []
+
+    def apply_batch(
+        self, table: LakeTable, batch: DataFrame, batch_id: int
+    ) -> dict[str, Any]:
+        if batch_id in table.committed_batch_ids():
+            return {"skipped_duplicate_batch": batch_id}
+        keys = (
+            batch.filter(
+                F.coalesce(*[F.col(c).cast("string") for c in self.business_keys]).isNotNull()
+            )
+            .groupBy(*self.business_keys)
+            .agg(F.min(F.col(self.ts_col).cast("timestamp")).alias("_first_ts"))
+            .select(
+                hash_key(*self.business_keys).alias(self.key_col),
+                F.lit(self.hub_type).alias("type"),
+                business_key(*self.business_keys).alias("bk"),
+                *[F.col(c) for c in self.business_keys],
+                *self._extra_cols(),
+                F.lit(batch_id).cast("long").alias("_runid"),
+                F.col("_first_ts").alias("_insert_ts"),
+                F.lit(self.source_system).alias("_source_system"),
+            )
+            .withColumn(BUCKET_COL, bucket_expr(self.key_col, table.num_buckets))
+            .persist()
+        )
+        affected = [r[0] for r in keys.select(BUCKET_COL).distinct().collect()]
+        first_load = table.last_commit() is None or not table.last_commit().buckets
+        if first_load:
+            fresh = keys
+        else:
+            # anti-join against the pruned state read; APPEND only the new
+            # keys — existing bucket files are never rewritten (insert-only)
+            state = table.read(buckets=affected)
+            fresh = keys.join(
+                state.select(F.col(self.key_col)), self.key_col, "left_anti"
+            ).persist()
+        per_bucket = fresh.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
+        n_new = sum(r["n"] for r in per_bucket)
+        write_buckets = affected if first_load else sorted(r[BUCKET_COL] for r in per_bucket)
+        metrics = {
+            "batch_id": batch_id,
+            "new_keys": n_new,
+            "buckets_read": sorted(affected),
+            "buckets_written": sorted(write_buckets),
+        }
+        table.commit(
+            fresh if n_new or first_load else None,
+            affected_buckets=write_buckets,
+            batch_id=batch_id,
+            metrics=metrics,
+            mode="append",
+        )
+        keys.unpersist()
+        if not first_load:
+            fresh.unpersist()
+        return metrics
+
+
+@dataclass
+class LinkMerge(HubMerge):
+    """Insert-only n-ary link: one row per distinct combination of leg keys.
+
+    ``leg_keys`` maps leg name → that leg's business-key columns (each a
+    subset of the link's ``business_keys``); the link row carries one
+    SHA-256 hash FK per leg (``fk_<leg>``), computed in place — dv.py:88-130
+    semantics with no FK writeback.
+    """
+
+    hub_type: str = "link"
+    leg_keys: dict[str, list[str]] = field(default_factory=dict)
+
+    def _extra_cols(self) -> list[Column]:
+        return [
+            hash_key(*cols).alias(f"fk_{leg}") for leg, cols in self.leg_keys.items()
+        ]

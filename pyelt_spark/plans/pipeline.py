@@ -1,0 +1,134 @@
+"""The transcript vault pipeline — Pipeline/Pipe analog.
+
+Orchestrates the per-microbatch DAG of the reference's ``Pipe.run``
+(pyelt/pipeline.py:657-744): staging → hubs → sats → links, re-expressed
+as three independent merges off ONE deduped batch (hash surrogate keys
+remove the reference's sequential FK-writeback, SURVEY §3 entry point 2):
+
+* ``conversation_hub``  — insert-only distinct conv_id (dv.py:48-51)
+* ``turn_sat``          — SCD2 history of (conv_id, turn_idx) payload
+                          (role, text, tool), hashdiff change detection,
+                          delete tombstones (dv.py:55-62, ddl.py:334-348)
+* ``conversation_tool_link`` — insert-only (conv_id, tool) association
+                          (dv.py:88-96)
+
+plus a ``runs`` bookkeeping log (sys.runs analog, dwh.py:115-147) kept in
+each table's commit manifests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyelt_spark.operators.hubs import HubMerge, LinkMerge
+from pyelt_spark.operators.scd2 import Scd2Merge
+from pyelt_spark.storage.lake import LakeTable
+
+PAYLOAD_COLS = ["role", "text", "tool"]
+BUSINESS_KEYS = ["conv_id", "turn_idx"]
+
+
+class TranscriptVault:
+    """Hub/sat/link vault over a transcript change-event stream."""
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
+        self.spark = spark
+        self.root = root
+        self.hub = LakeTable(spark, os.path.join(root, "conversation_hub"), num_buckets)
+        self.sat = LakeTable(spark, os.path.join(root, "turn_sat"), num_buckets)
+        self.link = LakeTable(spark, os.path.join(root, "conversation_tool_link"), num_buckets)
+        self.sat_merge = Scd2Merge(
+            business_keys=BUSINESS_KEYS,
+            payload_cols=PAYLOAD_COLS,
+            order_by=["seq"],
+            op_col="op",
+            ts_col="ts",
+        )
+        self.hub_merge = HubMerge(
+            business_keys=["conv_id"], hub_type="conversation", ts_col="ts"
+        )
+        self.link_merge = LinkMerge(
+            business_keys=["conv_id", "tool"],
+            hub_type="conversation_tool",
+            ts_col="ts",
+            leg_keys={"conversation": ["conv_id"], "tool": ["tool"]},
+        )
+
+    # ----------------------------------------------------------------- apply
+
+    def apply_batch(
+        self, events: DataFrame, batch_id: int, lineage: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """One microbatch: dedup once, then hub / sat / link merges.
+
+        Idempotent per batch_id on every table (exactly-once replay).
+        """
+        payload_cols = [c for c in self.sat_merge.payload_cols if c in events.columns] + [
+            c
+            for c in events.columns
+            if c not in self.sat_merge.payload_cols
+            and c not in BUSINESS_KEYS
+            and c not in ("seq", "op", "batch_id", "ts")
+        ]
+        self.sat_merge.payload_cols = payload_cols
+
+        # hub/link are registries of every key EVER seen upserting — they feed
+        # from raw upsert events (a turn created and deleted inside one batch
+        # still registers its conversation); the sat merge dedups internally
+        upserts = events.filter(F.col("op") != "D") if "op" in events.columns else events
+
+        m_hub = self.hub_merge.apply_batch(self.hub, upserts, batch_id)
+        m_sat = self.sat_merge.apply_batch(
+            self.sat, events, batch_id, lineage=lineage or {}
+        )
+        m_link = self.link_merge.apply_batch(
+            self.link, upserts.filter(F.col("tool").isNotNull()), batch_id
+        )
+        return {"hub": m_hub, "sat": m_sat, "link": m_link}
+
+    def replay(self, events: DataFrame, batch_col: str = "batch_id") -> list[dict]:
+        """Replay a full change stream batch-by-batch in batch order."""
+        batch_ids = [
+            r[0] for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+        out = []
+        for b in batch_ids:
+            out.append(
+                self.apply_batch(events.filter(F.col(batch_col) == b), int(b))
+            )
+        return out
+
+    # ----------------------------------------------------------------- views
+
+    def current_turns(self) -> DataFrame:
+        """Current-state view: active, non-deleted turn versions in stable
+        (conv_id, turn_idx) order — the per-turn text-equality invariant's
+        subject (ensemble-view analog, ddl.py:505-531)."""
+        s = self.sat_merge.sys
+        return (
+            self.sat.read()
+            .filter(F.col(s.active))
+            .select("conv_id", "turn_idx", "role", "text", "tool", s.revision, s.runid)
+            .orderBy("conv_id", "turn_idx")
+        )
+
+    def conversation_view(self, conv_id: str) -> DataFrame:
+        """Hub LEFT JOIN active sat for one conversation (pruned read)."""
+        s = self.sat_merge.sys
+        hub = self.hub.read().filter(F.col("conv_id") == conv_id)
+        sat = self.sat.read().filter(F.col(s.active) & (F.col("conv_id") == conv_id))
+        return hub.select("_key", "bk", "conv_id").join(
+            sat.select(
+                "conv_id", "turn_idx", "role", "text", "tool", s.revision
+            ),
+            "conv_id",
+            "left",
+        ).orderBy("turn_idx")
+
+    def runs_log(self) -> list[dict]:
+        """sys.runs analog: merge metrics of every committed batch."""
+        return [c.metrics for c in self.sat.commits() if c.batch_id is not None]

@@ -1,0 +1,272 @@
+"""Bucket-partitioned copy-on-write lake table with an atomic commit log.
+
+The north rule targets Iceberg ``MERGE INTO``; this sandbox ships no
+Iceberg/Delta jars, so the engine provides its own minimal table format
+with the same three properties a 10^10-event merge-apply loop needs —
+the API is deliberately shaped so each call maps 1:1 onto an Iceberg
+catalog call when one is available:
+
+1. **Partition-pruned merges.** Rows are hash-bucketed on the business key
+   (``bucket(N, key)`` in Iceberg terms). A microbatch first computes its
+   affected buckets (cheap: distinct over the deduped batch), reads ONLY
+   those buckets' files, and rewrites ONLY those buckets. Untouched
+   buckets are carried forward by manifest reference — zero I/O. At 100 TB
+   with 4096 buckets, a batch touching 1% of conversations reads/writes
+   ~1% of the state instead of all of it.
+
+2. **Exactly-once via idempotent commits.** A commit is a JSON manifest
+   written to a temp name then atomically renamed to
+   ``_commits/{version}.json``; it records the ``batch_id`` it applied.
+   Re-applying an already-committed batch_id is a no-op (the runner
+   checks ``committed_batch_ids()``), so crash-replay from any point is
+   safe — the reference gets the same property from its EXCEPT/NOT EXISTS
+   set-difference loads (pyelt/process/etl.py:156-163) and sys.runs
+   bookkeeping (pyelt/pipeline.py:259-285).
+
+3. **Resumable checkpoint + lineage.** The commit log IS the checkpoint:
+   each manifest carries per-bucket row counts, merge metrics
+   (inserted/updated/closed/deleted/unchanged) and the source lineage of
+   the batch, replacing the reference's ``sys.runs`` table
+   (pyelt/datalayers/dwh.py:115-147).
+
+Schema evolution is additive-only (reference contract:
+pyelt/process/ddl.py:122-144): new columns append to the stored schema and
+the hashdiff recipe gains a version; old data files are read with
+``mergeSchema`` so missing columns surface as NULL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyelt_spark.functions.hashing import HashRecipe
+
+BUCKET_COL = "_bucket"
+_PART_COL = "_bucket_p"  # duplicated partition dir column (partitionBy drops it)
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key: pmod(murmur3, N) — the same shape
+    as Iceberg's bucket transform. Stable across runs and cluster sizes."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Commit:
+    version: int
+    batch_id: int | None
+    buckets: dict[str, list[str]]  # bucket id (str) -> data dirs (rel paths)
+    schema: dict
+    recipe: dict | None
+    metrics: dict[str, Any]
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "batch_id": self.batch_id,
+            "buckets": self.buckets,
+            "schema": self.schema,
+            "recipe": self.recipe,
+            "metrics": self.metrics,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Commit":
+        return cls(
+            version=d["version"],
+            batch_id=d.get("batch_id"),
+            buckets={str(k): list(v) for k, v in d["buckets"].items()},
+            schema=d["schema"],
+            recipe=d.get("recipe"),
+            metrics=d.get("metrics", {}),
+        )
+
+
+class LakeTable:
+    """A key-bucketed SCD2 state table under a directory.
+
+    Layout::
+
+        {path}/_commits/000000000001.json   commit manifests (atomic rename)
+        {path}/data/v1/_bucket_p=0/*.parquet
+        {path}/data/v2/_bucket_p=7/*.parquet   (only rewritten buckets)
+    """
+
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.num_buckets = num_buckets
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # ---------------------------------------------------------------- commits
+
+    def _commit_dir(self) -> str:
+        return os.path.join(self.path, "_commits")
+
+    def commits(self) -> list[Commit]:
+        out = []
+        for name in sorted(os.listdir(self._commit_dir())):
+            if name.endswith(".json"):
+                with open(os.path.join(self._commit_dir(), name)) as f:
+                    out.append(Commit.from_json(json.load(f)))
+        return out
+
+    def last_commit(self) -> Commit | None:
+        cs = self.commits()
+        return cs[-1] if cs else None
+
+    def committed_batch_ids(self) -> set[int]:
+        return {c.batch_id for c in self.commits() if c.batch_id is not None}
+
+    def recipe(self) -> HashRecipe | None:
+        last = self.last_commit()
+        if last and last.recipe:
+            return HashRecipe.from_json(last.recipe)
+        return None
+
+    # ---------------------------------------------------------------- reading
+
+    def _schema(self) -> T.StructType | None:
+        last = self.last_commit()
+        if last is None:
+            return None
+        return T.StructType.fromJson(last.schema)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Read current state; ``buckets`` prunes to the listed buckets only
+        (file-level pruning — unlisted buckets are never opened)."""
+        last = self.last_commit()
+        schema = self._schema()
+        if last is None or not last.buckets:
+            if schema is None:
+                raise ValueError(f"empty table with no schema at {self.path}")
+            return self.spark.createDataFrame([], schema)
+        wanted = (
+            last.buckets
+            if buckets is None
+            else {str(b): last.buckets[str(b)] for b in buckets if str(b) in last.buckets}
+        )
+        dirs = sorted({d for ds in wanted.values() for d in ds})
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, d) for d in dirs]
+        # explicit stored schema: no per-file footer merging, and files that
+        # predate an additive evolution surface the new columns as NULL
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    # ---------------------------------------------------------------- writing
+
+    def commit(
+        self,
+        new_data: DataFrame | None,
+        affected_buckets: list[int],
+        batch_id: int | None,
+        recipe: HashRecipe | None = None,
+        metrics: dict[str, Any] | None = None,
+        mode: str = "overwrite",
+    ) -> Commit:
+        """Publish a new table version.
+
+        ``mode='overwrite'``: ``new_data`` is the complete new contents of
+        the affected buckets (copy-on-write merge path).
+        ``mode='append'``: ``new_data`` holds only NEW rows; affected
+        buckets keep their existing files and gain one more dir (the
+        insert-only hub/link path — no read-modify-write).
+        Unaffected buckets are carried forward by reference either way."""
+        last = self.last_commit()
+        version = (last.version + 1) if last else 1
+        rel_dir = os.path.join("data", f"v{version}")
+        out_dir = os.path.join(self.path, rel_dir)
+
+        written_buckets: set[int] = set()
+        if new_data is not None:
+            (
+                new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
+                .repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
+                .write.partitionBy(_PART_COL)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            if os.path.isdir(out_dir):
+                for name in os.listdir(out_dir):
+                    if name.startswith(f"{_PART_COL}="):
+                        written_buckets.add(int(name.split("=", 1)[1]))
+
+        buckets = dict(last.buckets) if last else {}
+        for b in affected_buckets:
+            new_dir = os.path.join(rel_dir, f"{_PART_COL}={b}")
+            if b in written_buckets:
+                if mode == "append":
+                    buckets[str(b)] = buckets.get(str(b), []) + [new_dir]
+                else:
+                    buckets[str(b)] = [new_dir]
+            elif mode != "append":
+                buckets.pop(str(b), None)  # bucket emptied by this commit
+
+        schema_json = (
+            json.loads(new_data.schema.json())
+            if new_data is not None
+            else (last.schema if last else None)
+        )
+        if schema_json is None:
+            raise ValueError("first commit must carry data to define a schema")
+
+        commit = Commit(
+            version=version,
+            batch_id=batch_id,
+            buckets=buckets,
+            schema=schema_json,
+            recipe=recipe.to_json() if recipe else (last.recipe if last else None),
+            metrics=metrics or {},
+        )
+        tmp = os.path.join(self._commit_dir(), f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(commit.to_json(), f)
+        os.rename(tmp, os.path.join(self._commit_dir(), f"{version:012d}.json"))
+        return commit
+
+    def init_schema(self, schema: T.StructType, recipe: HashRecipe | None = None) -> None:
+        """Bootstrap an empty table (first-load fast path, etl.py:233-278)."""
+        if self.last_commit() is None:
+            self.commit(
+                new_data=self.spark.createDataFrame([], schema),
+                affected_buckets=[],
+                batch_id=None,
+                recipe=recipe,
+                metrics={"bootstrap": True},
+            )
+
+    # ------------------------------------------------------------ maintenance
+
+    def compact(self, max_versions_per_bucket: int = 4) -> None:
+        """Rewrite buckets whose data spans many commit versions (small-file
+        compaction — Iceberg's rewrite_data_files analog)."""
+        last = self.last_commit()
+        if last is None:
+            return
+        crowded = [int(b) for b, dirs in last.buckets.items() if len(dirs) > max_versions_per_bucket]
+        if not crowded:
+            return
+        df = self.read(buckets=crowded)
+        self.commit(df, affected_buckets=crowded, batch_id=None, metrics={"compaction": True})
+
+    def vacuum(self) -> None:
+        """Delete data dirs no longer referenced by the latest manifest."""
+        last = self.last_commit()
+        if last is None:
+            return
+        live = {d.split(os.sep)[1] for ds in last.buckets.values() for d in ds}
+        data_root = os.path.join(self.path, "data")
+        for vdir in os.listdir(data_root):
+            if vdir not in live and vdir != f"v{last.version}":
+                shutil.rmtree(os.path.join(data_root, vdir), ignore_errors=True)

@@ -1,0 +1,63 @@
+import os
+
+from pyspark.sql import functions as F
+
+from pyelt_spark.storage.lake import BUCKET_COL, LakeTable, bucket_expr
+
+
+def _df(spark, ids):
+    return (
+        spark.range(0, 0)
+        .sparkSession.createDataFrame([(i, f"v{i}") for i in ids], "k long, v string")
+        .withColumn(BUCKET_COL, bucket_expr("k", 8))
+    )
+
+
+def test_commit_read_prune(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=8)
+    df = _df(spark, range(100))
+    buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit(df, affected_buckets=buckets, batch_id=1)
+    assert t.read().count() == 100
+    one = buckets[0]
+    pruned = t.read(buckets=[one])
+    assert pruned.count() == df.filter(F.col(BUCKET_COL) == one).count()
+    assert t.committed_batch_ids() == {1}
+
+
+def test_partial_rewrite_carries_forward(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=8)
+    df = _df(spark, range(100))
+    all_buckets = [r[0] for r in df.select(BUCKET_COL).distinct().collect()]
+    t.commit(df, affected_buckets=all_buckets, batch_id=1)
+
+    # rewrite only bucket b with new contents
+    b = all_buckets[0]
+    rewritten = _df(spark, range(1000, 1010)).withColumn(BUCKET_COL, F.lit(b))
+    t.commit(rewritten, affected_buckets=[b], batch_id=2)
+
+    out = t.read()
+    n_b_before = df.filter(F.col(BUCKET_COL) == b).count()
+    assert out.count() == 100 - n_b_before + 10
+    # untouched buckets still reference v1 dirs; bucket b references v2
+    last = t.last_commit()
+    assert last.buckets[str(b)][0].startswith(os.path.join("data", "v2"))
+    other = [k for k in last.buckets if k != str(b)][0]
+    assert last.buckets[other][0].startswith(os.path.join("data", "v1"))
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "t"), num_buckets=2)
+    for i in range(6):
+        df = _df(spark, [i]).withColumn(BUCKET_COL, F.lit(0))
+        prev = t.read(buckets=[0]) if t.last_commit() else None
+        data = prev.unionByName(df) if prev is not None else df
+        t.commit(data, affected_buckets=[0], batch_id=i)
+    assert len(t.last_commit().buckets["0"]) == 1  # full rewrite each commit
+    t.compact(max_versions_per_bucket=0)
+    t.vacuum()
+    assert t.read().count() == 6
+    # vacuumed: only the latest data version dir remains referenced
+    data_dirs = os.listdir(tmp_path / "t" / "data")
+    live = {d.split(os.sep)[1] for ds in t.last_commit().buckets.values() for d in ds}
+    assert set(data_dirs) >= live

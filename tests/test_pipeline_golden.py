@@ -1,0 +1,100 @@
+"""End-to-end golden replay: the transcript-domain analog of the
+reference's full-pipeline golden-count tests (test03_run_proces.py:29-64),
+strengthened to per-turn TEXT EQUALITY under stable turn ordering (the
+BASELINE.json invariant)."""
+
+from pyspark.sql import functions as F
+
+from pyelt_spark.operators.dedup import latest_per_key
+from pyelt_spark.plans.pipeline import TranscriptVault
+from pyelt_spark.sources.events import transcript_change_events
+from pyelt_spark.streaming.runner import MicrobatchRunner
+
+
+def _oracle_current(ev):
+    """Ground truth: latest event per key over the WHOLE stream; key absent
+    if that event is a delete."""
+    latest = latest_per_key(ev, ["conv_id", "turn_idx"], ["seq"])
+    return latest.filter(F.col("op") != "D").select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+def test_replay_matches_oracle_text_equality(spark, tmp_path):
+    ev = transcript_change_events(spark, 4000, batch_size=1000, seed=42).persist()
+    vault = TranscriptVault(spark, str(tmp_path / "vault"), num_buckets=8)
+    MicrobatchRunner(vault).replay(ev)
+
+    got = vault.current_turns().select("conv_id", "turn_idx", "role", "text", "tool")
+    want = _oracle_current(ev)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # stable turn ordering: per-turn text equality on an ordered collect
+    got_rows = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in vault.current_turns().collect()
+    ]
+    want_rows = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in want.orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert got_rows == want_rows
+
+    # hub: one row per distinct non-deleted conv_id that ever upserted
+    upserting_convs = ev.filter(F.col("op") != "D").select("conv_id").distinct()
+    assert vault.hub.read().count() == upserting_convs.count()
+
+    # link: distinct (conv_id, tool) with non-null tool among upserts
+    want_links = (
+        ev.filter((F.col("op") != "D") & F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    assert vault.link.read().count() == want_links.count()
+    ev.unpersist()
+
+
+def test_replay_resume_and_idempotence(spark, tmp_path):
+    ev = transcript_change_events(spark, 3000, batch_size=1000, seed=5).persist()
+    vault = TranscriptVault(spark, str(tmp_path / "vault"), num_buckets=8)
+    runner = MicrobatchRunner(vault)
+
+    # apply only batches 0 and 1 (simulated crash before batch 2)
+    runner.replay(ev.filter("batch_id < 2"))
+    partial = vault.current_turns().count()
+    assert partial > 0
+
+    # resume from the top over the FULL stream: 0 and 1 skipped, 2 applied
+    out = runner.replay(ev)
+    assert out[0].get("skipped_duplicate_batch") == 0
+    assert out[1].get("skipped_duplicate_batch") == 1
+    assert "sat" in out[2]
+
+    # end state identical to a clean one-shot replay
+    vault2 = TranscriptVault(spark, str(tmp_path / "vault2"), num_buckets=8)
+    MicrobatchRunner(vault2).replay(ev)
+    a = vault.current_turns().select("conv_id", "turn_idx", "text")
+    b = vault2.current_turns().select("conv_id", "turn_idx", "text")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # full re-replay is a no-op (exactly-once)
+    before = len(vault.sat.commits())
+    runner.replay(ev)
+    assert len(vault.sat.commits()) == before
+    ev.unpersist()
+
+
+def test_streaming_tail(spark, tmp_path):
+    ev = transcript_change_events(spark, 1500, batch_size=500, seed=9)
+    src = str(tmp_path / "stream_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    vault = TranscriptVault(spark, str(tmp_path / "vault"), num_buckets=8)
+    q = MicrobatchRunner(vault).tail(src, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = vault.current_turns().select("conv_id", "turn_idx", "role", "text", "tool")
+    want = _oracle_current(spark.read.parquet(src))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

@@ -1,0 +1,161 @@
+"""SCD2 merge-apply scenario tests — the transcript-domain analog of the
+reference's golden-count suite (test03_run_proces.py:29-64,
+test07_deletes.py:42-56)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyelt_spark.operators.scd2 import Scd2Merge
+from pyelt_spark.storage.lake import LakeTable
+
+TS = dt.datetime(2024, 1, 1)
+
+
+def _ev(seq, conv, turn, text, op="U", role="user", tool=None, **extra):
+    return {
+        "seq": seq, "conv_id": conv, "turn_idx": turn, "role": role,
+        "text": text, "tool": tool, "op": op,
+        "ts": TS + dt.timedelta(seconds=seq), **extra,
+    }
+
+
+def _merge():
+    return Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool"],
+        order_by=["seq"],
+    )
+
+
+_SCHEMA = (
+    "seq long, conv_id string, turn_idx int, role string, text string, "
+    "tool string, op string, ts timestamp"
+)
+
+
+def _mk(spark, rows, cols=("seq", "conv_id", "turn_idx", "role", "text", "tool", "op", "ts")):
+    schema = _SCHEMA if cols == ("seq", "conv_id", "turn_idx", "role", "text", "tool", "op", "ts") else list(cols)
+    return spark.createDataFrame([tuple(r[c] for c in cols) for r in rows], schema)
+
+
+def test_scd2_full_lifecycle(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+
+    # batch 1: first load — 2 keys (one via two in-batch versions: latest wins)
+    b1 = _mk(spark, [
+        _ev(1, "c1", 0, "hello v1"),
+        _ev(2, "c1", 0, "hello v2"),       # same key, later seq → only this lands
+        _ev(3, "c1", 1, "second turn"),
+    ])
+    met1 = m.apply_batch(t, b1, batch_id=1)
+    assert met1["inserted"] == 2 and met1["updated"] == 0
+    st = t.read()
+    assert st.count() == 2
+    assert st.filter("conv_id='c1' and turn_idx=0").first()["text"] == "hello v2"
+    assert [r["_revision"] for r in st.collect()] == [0, 0]
+
+    # batch 2: one real change, one no-op update (hashdiff must NOT fire)
+    b2 = _mk(spark, [
+        _ev(10, "c1", 0, "hello v3"),
+        _ev(11, "c1", 1, "second turn"),   # identical payload → unchanged
+    ])
+    met2 = m.apply_batch(t, b2, batch_id=2)
+    assert met2["updated"] == 1 and met2["inserted"] == 0 and met2["unchanged"] == 1
+    st = t.read()
+    assert st.count() == 3  # history kept
+    cur = st.filter("_active and conv_id='c1' and turn_idx=0").first()
+    assert cur["text"] == "hello v3" and cur["_revision"] == 1 and cur["_runid"] == 2
+    old = st.filter("not _active").first()
+    assert old["text"] == "hello v2" and old["_finish_ts"] is not None
+    # unchanged row untouched: still _runid 1
+    untouched = st.filter("_active and turn_idx=1").first()
+    assert untouched["_runid"] == 1
+
+    # batch 3: delete c1/0
+    b3 = _mk(spark, [_ev(20, "c1", 0, "whatever", op="D")])
+    met3 = m.apply_batch(t, b3, batch_id=3)
+    assert met3["deleted"] == 1
+    st = t.read()
+    assert st.filter("_active and turn_idx=0").count() == 0
+    closed = st.filter("conv_id='c1' and turn_idx=0 and _deleted_runid is not null").first()
+    assert closed["_deleted_runid"] == 3 and not closed["_active"]
+
+    # batch 4: re-insert after delete → revision keeps counting
+    b4 = _mk(spark, [_ev(30, "c1", 0, "hello again")])
+    met4 = m.apply_batch(t, b4, batch_id=4)
+    assert met4["inserted"] == 1
+    cur = t.read().filter("_active and turn_idx=0").first()
+    assert cur["text"] == "hello again" and cur["_revision"] == 2
+
+
+def test_scd2_idempotent_replay(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    b1 = _mk(spark, [_ev(1, "c1", 0, "x"), _ev(2, "c2", 0, "y")])
+    m.apply_batch(t, b1, batch_id=1)
+
+    # exactly-once: same batch_id → skipped, no new commit
+    n_commits = len(t.commits())
+    met = m.apply_batch(t, b1, batch_id=1)
+    assert met == {"skipped_duplicate_batch": 1}
+    assert len(t.commits()) == n_commits
+
+    # semantic idempotence: same CONTENT under a fresh batch_id → all no-ops
+    met = m.apply_batch(t, b1, batch_id=2)
+    assert met["inserted"] == 0 and met["updated"] == 0 and met["unchanged"] == 2
+    assert t.read().count() == 2
+
+
+def test_delete_then_nothing(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, "x")]), 1)
+    # delete of a key that was never loaded → no-op
+    met = m.apply_batch(t, _mk(spark, [_ev(2, "zz", 9, "?", op="D")]), 2)
+    assert met["deleted"] == 0 and met["unchanged"] == 1
+    assert t.read().count() == 1
+
+
+def test_schema_evolution_no_spurious_reversion(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, "x"), _ev(2, "c1", 1, "y")]), 1)
+
+    # batch 2 carries a NEW column `meta`, null everywhere, same payload:
+    # comparison runs under the state rows' recipe v1 → nothing re-versions
+    m2 = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool", "meta"],
+        order_by=["seq"],
+    )
+    cols = ("seq", "conv_id", "turn_idx", "role", "text", "tool", "op", "ts", "meta")
+    schema = (
+        "seq long, conv_id string, turn_idx int, role string, text string, "
+        "tool string, op string, ts timestamp, meta string"
+    )
+    b2 = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in [
+            _ev(10, "c1", 0, "x", meta=None), _ev(11, "c1", 1, "y", meta=None),
+        ]],
+        schema,
+    )
+    met2 = m2.apply_batch(t, b2, batch_id=2)
+    assert met2["unchanged"] == 2 and met2["updated"] == 0
+
+    # batch 3: meta now populated for one key → exactly that key re-versions
+    b3 = spark.createDataFrame(
+        [tuple(r[c] for c in cols) for r in [
+            _ev(20, "c1", 0, "x", meta="m1"), _ev(21, "c1", 1, "y", meta=None),
+        ]],
+        schema,
+    )
+    met3 = m2.apply_batch(t, b3, batch_id=3)
+    assert met3["updated"] == 1 and met3["unchanged"] == 1
+    st = t.read()
+    cur = st.filter("_active and turn_idx=0").first()
+    assert cur["meta"] == "m1" and cur["_revision"] == 1
+    # old rows read back with meta as NULL (additive evolution)
+    assert st.filter("not _active").first()["meta"] is None
+    assert t.recipe().current_version == 2
