@@ -1,0 +1,90 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+All pure JVM column expressions (whole-stage codegen; no Python per row):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. Used by the ``documents``-table queries and by the dedup
+operators in ``operators/docdedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit language
+# heuristic — deliberately small and deterministic
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def normalized(col: str | Column) -> Column:
+    """Canonical text form: lowercase, whitespace runs collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """SHA-256 document fingerprint over the normalized text."""
+    return F.sha2(normalized(col), 256)
+
+
+def punct_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[[:punct:]]", ""))
+
+
+def stopword_hits(col: str | Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = F.split(normalized(col), " ")
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic quality score in [0,1]: rewards reasonable length,
+    moderate punctuation, and a natural stopword ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = punct_count(c).cast("double") / F.greatest(
+        F.length(c).cast("double"), F.lit(1.0)
+    )
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))
+    stop_ratio = stopword_hits(c).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    stop_score = F.least(stop_ratio * 4, F.lit(1.0))
+    return F.round((len_score + punct_score + stop_score) / 3, 6)
+
+
+def langid(col: str | Column) -> Column:
+    """Stopword-hit language guess over {en,de,fr,es}, 'und' if no hits.
+
+    Ties break in fixed en > de > fr > es order (deterministic).
+    """
+    hits = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # en wins ties (checked last)
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingles(col: str | Column, n: int = 5) -> Column:
+    """Word n-gram shingles over normalized text (distinct)."""
+    toks = F.split(normalized(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )

@@ -1,38 +1,51 @@
 """SCD2 merge-apply: hashdiff change detection + valid-from/valid-to upsert.
 
-One microbatch of change events is applied to a key-bucketed state table in
-a single pass that reproduces, functionally, the reference's per-table load
+One microbatch of change events is applied to a key-bucketed satellite in a
+single pass that reproduces, functionally, the reference's per-table load
 cycle (docs/source/05etl_proces.rst "Pipe.Run Detail stappen"):
 
 reference step (file:line)                     → here
 -------------------------------------------------------------------------
 insert-new-or-changed via EXCEPT active
-  (pyelt/process/etl.py:156-163)               → anti semantics via
-                                                 hashdiff != state hashdiff
-revision bump self-join (etl.py:168-171)       → max(_revision)+1 from the
-                                                 pruned state read (no self-join)
+  (pyelt/process/etl.py:156-163)               → hashdiff comparison against
+                                                 the head row
+revision bump self-join (etl.py:168-171)       → head row's revision + 1
+                                                 (no self-join, no agg)
 close-out UPDATE _active/_finish_date
-  (etl.py:174-177)                             → conditional column rewrite of
-                                                 superseded active rows
-delete detection (etl.py:180-183)              → 'D' tombstone events close the
-                                                 active row with _deleted_runid
+  (etl.py:174-177)                             → closed head rows move to the
+                                                 append-only history table
+delete detection (etl.py:180-183)              → 'D' tombstones close the head
+                                                 row in place (_deleted_runid)
 latest-per-key DISTINCT ON (etl.py:576)        → operators.dedup.latest_per_key
-duplicate-key validation (etl.py:349-371)      → operators.validate
-first-load fast path (etl.py:233-278)          → empty-state bootstrap branch
+first-load fast path (etl.py:233-278)          → empty-head bootstrap branch
 
-Scale shape: the batch is deduped with a map-side aggregate (skew-proof),
-its affected buckets are computed, ONLY those buckets of state are read
-(file-level pruning via the lake manifest), one shuffle joins batch↔state
-on the hash key, and only those buckets are rewritten. Everything is JVM
-column expressions — no per-row Python.
+Storage layout — the 100 TB shape
+---------------------------------
+An ``Scd2Table`` is a **head / history split**:
+
+* ``head``  — exactly ONE row per business key: the active version, or a
+  delete tombstone (closed row carrying the delete's seq + the key's max
+  revision). This is the ONLY data a merge reads and rewrites, and it is
+  bucket-pruned to the batch's keys. State I/O per batch is proportional
+  to touched keys, never to accumulated history.
+* ``hist``  — append-only closed versions. Written once per close, never
+  read by merges. Full SCD2 history = ``hist ∪ head``.
+
+The tombstone-carries-the-delete-seq design is also what makes the
+out-of-order guard airtight: a late pre-delete update (seq between the
+last content seq and the delete's seq) is detected as stale against the
+tombstone and cannot resurrect a deleted key.
+
+Everything is JVM column expressions — no per-row Python.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyelt_spark.functions.hashing import HashRecipe, hash_key
@@ -65,15 +78,51 @@ class ScdColumns:
         ]
 
 
+class Scd2Table:
+    """Head/history split SCD2 satellite (see module docstring)."""
+
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int = 32):
+        self.spark = spark
+        self.path = path
+        self.num_buckets = num_buckets
+        self.head = LakeTable(spark, os.path.join(path, "head"), num_buckets)
+        self.hist = LakeTable(spark, os.path.join(path, "hist"), num_buckets)
+
+    # bookkeeping delegates to head (the authoritative commit log)
+    def committed_batch_ids(self) -> set[int]:
+        return self.head.committed_batch_ids()
+
+    def last_commit(self):
+        return self.head.last_commit()
+
+    def commits(self):
+        return self.head.commits()
+
+    def recipe(self) -> HashRecipe | None:
+        return self.head.recipe()
+
+    def current(self) -> DataFrame:
+        """Active (non-deleted) current versions: the head minus tombstones."""
+        return self.head.read().filter(F.col("_active"))
+
+    def read(self) -> DataFrame:
+        """Full SCD2 history: closed versions ∪ head rows."""
+        head = self.head.read()
+        if self.hist.last_commit() is None or not self.hist.last_commit().buckets:
+            return head
+        hist = self.hist.read()
+        return hist.unionByName(head, allowMissingColumns=True).select(head.columns)
+
+
 @dataclass
 class Scd2Merge:
-    """Merge a deduped change-event batch into a LakeTable satellite.
+    """Merge a change-event batch into an Scd2Table.
 
     ``business_keys``: natural-key columns (e.g. conv_id, turn_idx).
     ``payload_cols``: attribute columns under hashdiff change detection.
-    ``order_by``: event-order columns for latest-per-key (e.g. ["seq"]).
-    ``op_col``: 'I' / 'U' / 'D' change-event op column (op absent → treat
-    all as upserts).
+    ``order_by``: event-order columns for latest-per-key (first must be a
+    monotone sequence number; it becomes the stored ``_seq``).
+    ``op_col``: 'I'/'U'/'D' change-event op column (absent → all upserts).
     """
 
     business_keys: list[str]
@@ -92,14 +141,14 @@ class Scd2Merge:
         df = df.withColumn(self.sys.hashdiff, recipe.hashdiff_for(cur))
         df = df.withColumn(self.sys.hd_version, F.lit(cur))
         # hashdiffs under every older recipe version too, so a batch row can
-        # be compared against a state row stored before a schema evolution
+        # be compared against a head row stored before a schema evolution
         # without re-versioning it (SURVEY §7.6).
         for v in sorted(recipe.versions):
             if v != cur:
                 df = df.withColumn(f"{self.sys.hashdiff}_v{v}", recipe.hashdiff_for(v))
         return df
 
-    def _evolved_recipe(self, batch: DataFrame, table: LakeTable) -> HashRecipe:
+    def _evolved_recipe(self, batch: DataFrame, table: Scd2Table) -> HashRecipe:
         recipe = table.recipe()
         batch_payload = [c for c in self.payload_cols if c in batch.columns]
         if recipe is None:
@@ -111,7 +160,7 @@ class Scd2Merge:
 
     def apply_batch(
         self,
-        table: LakeTable,
+        table: Scd2Table,
         events: DataFrame,
         batch_id: int,
         lineage: dict[str, Any] | None = None,
@@ -123,65 +172,56 @@ class Scd2Merge:
 
         recipe = self._evolved_recipe(events, table)
         payload = recipe.current_cols
+        s = self.sys
 
-        # 1. latest-per-key dedup (map-side aggregate; skew-proof)
+        # 1. latest-per-key dedup (map-side aggregate; skew-proof), then
+        #    hash keys / hashdiffs on the winners only
         batch = latest_per_key(events, self.business_keys, self.order_by)
         batch = self._with_keys_and_hashdiff(batch, recipe)
-        batch = batch.withColumn(BUCKET_COL, bucket_expr(self.sys.key, table.num_buckets))
-
+        batch = batch.withColumn(BUCKET_COL, bucket_expr(s.key, table.num_buckets))
         op = (
             F.col(self.op_col)
             if self.op_col and self.op_col in batch.columns
             else F.lit("U")
         )
-        batch = batch.withColumn("_op", op)
-        batch = batch.persist()  # feeds bucket discovery + join + metrics
+        batch = batch.withColumn("_op", op).persist()
 
-        # 2. affected-bucket discovery → pruned state read
+        # 2. affected-bucket discovery → pruned HEAD read (one row per key)
         affected = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
         first_load = table.last_commit() is None or not table.last_commit().buckets
-        s = self.sys
 
         if first_load:
-            state = None
-            per_key = None
+            head_state = None
+            j = (
+                batch.withColumn("_st_active", F.lit(None).cast("boolean"))
+                .withColumn("_st_hd", F.lit(None).cast("string"))
+                .withColumn("_st_hdv", F.lit(None).cast("int"))
+                .withColumn("_st_rev", F.lit(None).cast("long"))
+                .withColumn("_st_seq", F.lit(None).cast("long"))
+            )
         else:
-            state = table.read(buckets=affected).persist()
-            active = state.filter(F.col(s.active)).select(
-                F.col(s.key), F.col(s.hashdiff).alias("_st_hd"),
+            head_state = table.head.read(buckets=affected).persist()
+            per_key = head_state.select(
+                F.col(s.key),
+                F.col(s.active).alias("_st_active"),
+                F.col(s.hashdiff).alias("_st_hd"),
                 F.col(s.hd_version).alias("_st_hdv"),
+                F.col(s.revision).alias("_st_rev"),
                 F.col(s.load_seq).alias("_st_seq"),
             )
-            agg = state.groupBy(s.key).agg(
-                F.max(s.revision).alias("_st_maxrev"),
-                F.max(s.load_seq).alias("_st_maxseq"),
-            )
-            per_key = active.join(agg, s.key, "full")
-
-        # 3. classify batch rows against active state
-        if per_key is not None:
             j = batch.join(per_key, s.key, "left")
-        else:
-            j = batch.withColumn("_st_hd", F.lit(None).cast("string")) \
-                     .withColumn("_st_hdv", F.lit(None).cast("int")) \
-                     .withColumn("_st_seq", F.lit(None).cast("long")) \
-                     .withColumn("_st_maxrev", F.lit(None).cast("long")) \
-                     .withColumn("_st_maxseq", F.lit(None).cast("long"))
 
-        # compare under the STATE row's recipe version (schema evolution):
-        # equal old-recipe hashes count as unchanged ONLY if every column
-        # added since that version is still null (null ≡ the value the old
-        # row implicitly had) — otherwise the new column carries new info
-        # and the row must version.
+        # 3. classify. Hashdiffs compare under the HEAD row's recipe version
+        #    (schema evolution): equal old-recipe hashes count as unchanged
+        #    ONLY if every column added since is still null.
         cmp_hd = F.col(s.hashdiff)
         new_info = F.lit(False)
-        cur_cols = recipe.current_cols
         for v in sorted(recipe.versions):
             if v != recipe.current_version:
                 cmp_hd = F.when(
                     F.col("_st_hdv") == v, F.col(f"{s.hashdiff}_v{v}")
                 ).otherwise(cmp_hd)
-                added = [c for c in cur_cols if c not in recipe.versions[v]]
+                added = [c for c in recipe.current_cols if c not in recipe.versions[v]]
                 if added:
                     any_nonnull = None
                     for c in added:
@@ -190,79 +230,33 @@ class Scd2Merge:
                     new_info = F.when(F.col("_st_hdv") == v, any_nonnull).otherwise(new_info)
 
         is_delete = F.col("_op") == F.lit("D")
-        has_active = F.col("_st_hd").isNotNull()
+        has_row = F.col("_st_active").isNotNull()
+        is_active = F.col("_st_active") == F.lit(True)
         seq_expr = F.col(self.order_by[0]).cast("long")
-        # out-of-order guard ACROSS batches: an event older than anything
-        # already applied for its key is stale and must not regress state
-        # (within-batch disorder is resolved by the dedup window; this
-        # handles cross-batch/late delivery — north rule §2.8)
-        stale = F.col("_st_maxseq").isNotNull() & (seq_expr < F.col("_st_maxseq"))
-        unchanged = has_active & ~is_delete & (cmp_hd == F.col("_st_hd")) & ~new_info
-        # content-equal but NEWER event: keep the row, advance its _seq so
-        # later stale events can't sneak in behind it
+        # stale guard ACROSS batches: older than anything applied for the key
+        # (tombstones carry the delete's seq, so pre-delete stragglers die here)
+        stale = has_row & (seq_expr < F.col("_st_seq"))
+        unchanged = is_active & ~is_delete & (cmp_hd == F.col("_st_hd")) & ~new_info
         bump = unchanged & (seq_expr > F.col("_st_seq"))
 
         j = j.withColumn(
             "_verdict",
             F.when(stale, F.lit("stale"))
-            .when(is_delete & has_active, F.lit("delete"))
+            .when(is_delete & is_active, F.lit("delete"))
             .when(is_delete, F.lit("noop"))
             .when(bump, F.lit("bump"))
             .when(unchanged, F.lit("noop"))
-            .when(has_active, F.lit("update"))
-            .otherwise(
-                # no ACTIVE row; a prior revision may exist (re-insert after
-                # delete) — revision keeps counting (etl.py:168-171 joins the
-                # latest previous row, active or not)
-                F.when(F.col("_st_maxrev").isNotNull(), F.lit("reinsert"))
-                .otherwise(F.lit("insert"))
-            ),
+            .when(is_active, F.lit("update"))
+            .when(has_row, F.lit("reinsert"))  # tombstone present: revision keeps counting
+            .otherwise(F.lit("insert")),
         ).persist()
 
-        new_versions = (
-            j.filter(F.col("_verdict").isin("insert", "update", "reinsert"))
-            .select(
-                F.col(s.key),
-                *[F.col(c) for c in self.business_keys],
-                *[
-                    (F.col(c) if c in batch.columns else F.lit(None)).alias(c)
-                    for c in payload
-                ],
-                F.lit(batch_id).cast("long").alias(s.runid),
-                F.lit(True).alias(s.active),
-                F.col(self.ts_col).cast("timestamp").alias(s.insert_ts),
-                F.lit(None).cast("timestamp").alias(s.finish_ts),
-                F.lit(None).cast("long").alias(s.deleted_runid),
-                (F.coalesce(F.col("_st_maxrev") + 1, F.lit(0)).cast("long")).alias(s.revision),
-                seq_expr.alias(s.load_seq),
-                F.col(s.hashdiff),
-                F.col(s.hd_version),
-                F.lit(self.source_system).alias(s.source),
-                F.col(BUCKET_COL),
-            )
-        )
-
-        closers = (
-            j.filter(F.col("_verdict").isin("update", "delete", "bump"))
-            .select(
-                F.col(s.key).alias("_close_key"),
-                F.col("_verdict").alias("_close_verdict"),
-                F.col(self.ts_col).cast("timestamp").alias("_close_ts"),
-                seq_expr.alias("_close_seq"),
-            )
-        )
-
-        # ONE aggregation drives verdict counts, write-bucket discovery and
-        # per-bucket lineage (replaces four separate driver round-trips)
-        vc = (
-            j.groupBy("_verdict", BUCKET_COL).agg(F.count("*").alias("n")).collect()
-        )
+        # 4. ONE aggregation drives verdict counts, write-bucket discovery
+        #    and per-bucket lineage
+        vc = j.groupBy("_verdict", BUCKET_COL).agg(F.count("*").alias("n")).collect()
         metrics_rows: dict[str, int] = {}
         for r in vc:
             metrics_rows[r["_verdict"]] = metrics_rows.get(r["_verdict"], 0) + r["n"]
-
-        # 4. rewrite ONLY buckets holding changed/deleted/seq-bumped keys (a
-        #    no-op-heavy stream must not rewrite every bucket it touched)
         write_buckets = sorted(
             {r[BUCKET_COL] for r in vc if r["_verdict"] not in ("noop", "stale")}
         )
@@ -277,75 +271,148 @@ class Scd2Merge:
             "buckets_read": sorted(affected),
             "buckets_written": write_buckets,
             "batch_keys_per_bucket": {
-                str(r[BUCKET_COL]): sum(
-                    x["n"] for x in vc if x[BUCKET_COL] == r[BUCKET_COL]
-                )
-                for r in vc
+                str(b): sum(r["n"] for r in vc if r[BUCKET_COL] == b)
+                for b in {r[BUCKET_COL] for r in vc}
             },
             "lineage": lineage or {},
         }
-        if not write_buckets:
-            # nothing changed — commit only the batch-id bookkeeping
-            table.commit(None, [], batch_id, recipe=recipe, metrics=metrics)
+
+        def _cleanup():
             batch.unpersist()
             j.unpersist()
-            if state is not None:
-                state.unpersist()
+            if head_state is not None:
+                head_state.unpersist()
+
+        if not write_buckets:
+            table.head.commit(None, [], batch_id, recipe=recipe, metrics=metrics)
+            _cleanup()
             return metrics
 
-        new_versions = new_versions.filter(F.col(BUCKET_COL).isin(write_buckets))
-        if state is not None:
-            state = state.filter(F.col(BUCKET_COL).isin(write_buckets))
-            is_bump = F.col("_close_verdict") == "bump"
-            closed = (
-                state.join(closers, state[s.key] == closers["_close_key"], "left")
-                .withColumn(
-                    "_closing",
-                    F.col("_close_key").isNotNull() & F.col(s.active) & ~is_bump,
-                )
-                .withColumn(
-                    s.load_seq,
-                    F.when(
-                        F.col("_close_key").isNotNull() & F.col(s.active) & is_bump,
-                        F.col("_close_seq"),
-                    ).otherwise(F.col(s.load_seq)),
-                )
-                .withColumn(
-                    s.finish_ts,
-                    F.when(F.col("_closing"), F.col("_close_ts")).otherwise(F.col(s.finish_ts)),
-                )
-                .withColumn(
-                    s.deleted_runid,
-                    F.when(
-                        F.col("_closing") & (F.col("_close_verdict") == "delete"),
-                        F.lit(batch_id).cast("long"),
-                    ).otherwise(F.col(s.deleted_runid)),
-                )
-                .withColumn(
-                    s.active,
-                    F.when(F.col("_closing"), F.lit(False)).otherwise(F.col(s.active)),
-                )
-                .drop("_close_key", "_close_verdict", "_close_ts", "_close_seq", "_closing")
+        # 5. new head versions (insert / update / reinsert)
+        new_versions = (
+            j.filter(F.col("_verdict").isin("insert", "update", "reinsert"))
+            .filter(F.col(BUCKET_COL).isin(write_buckets))
+            .select(
+                F.col(s.key),
+                *[F.col(c) for c in self.business_keys],
+                *[
+                    (F.col(c) if c in batch.columns else F.lit(None)).alias(c)
+                    for c in payload
+                ],
+                F.lit(batch_id).cast("long").alias(s.runid),
+                F.lit(True).alias(s.active),
+                F.col(self.ts_col).cast("timestamp").alias(s.insert_ts),
+                F.lit(None).cast("timestamp").alias(s.finish_ts),
+                F.lit(None).cast("long").alias(s.deleted_runid),
+                (F.coalesce(F.col("_st_rev") + 1, F.lit(0)).cast("long")).alias(s.revision),
+                seq_expr.alias(s.load_seq),
+                F.col(s.hashdiff),
+                F.col(s.hd_version),
+                F.lit(self.source_system).alias(s.source),
+                F.col(BUCKET_COL),
             )
-            # additive schema evolution: older state may predate new payload cols
-            for c in new_versions.columns:
-                if c not in closed.columns:
-                    closed = closed.withColumn(
-                        c, F.lit(None).cast(dict(new_versions.dtypes)[c])
-                    )
-            new_bucket_data = closed.select(new_versions.columns).unionByName(new_versions)
-        else:
-            new_bucket_data = new_versions
-
-        table.commit(
-            new_bucket_data,
-            affected_buckets=write_buckets,
-            batch_id=batch_id,
-            recipe=recipe,
-            metrics=metrics,
         )
-        batch.unpersist()
-        j.unpersist()
-        if state is not None:
-            state.unpersist()
+
+        if head_state is None:
+            table.head.commit(
+                new_versions, write_buckets, batch_id, recipe=recipe, metrics=metrics
+            )
+            _cleanup()
+            return metrics
+
+        # 6. per-key change directives for the head rewrite
+        chg = j.filter(
+            F.col("_verdict").isin("update", "delete", "bump", "reinsert")
+        ).select(
+            F.col(s.key).alias("_c_key"),
+            F.col("_verdict").alias("_c_verdict"),
+            F.col(self.ts_col).cast("timestamp").alias("_c_ts"),
+            seq_expr.alias("_c_seq"),
+        )
+        hs = head_state.filter(F.col(BUCKET_COL).isin(write_buckets))
+        hj = hs.join(chg, hs[s.key] == chg["_c_key"], "left")
+
+        # closed rows leave the head for the append-only history:
+        #   update   → the superseded active row, closed now
+        #   reinsert → the old tombstone row, moved as-is
+        to_hist = (
+            hj.filter(F.col("_c_verdict").isin("update", "reinsert"))
+            .withColumn(
+                s.finish_ts,
+                F.when(F.col("_c_verdict") == "update", F.col("_c_ts")).otherwise(
+                    F.col(s.finish_ts)
+                ),
+            )
+            .withColumn(
+                s.active,
+                F.when(F.col("_c_verdict") == "update", F.lit(False)).otherwise(
+                    F.col(s.active)
+                ),
+            )
+            .drop("_c_key", "_c_verdict", "_c_ts", "_c_seq")
+        )
+
+        # surviving head rows: untouched keys, delete-closures, seq bumps
+        kept = (
+            hj.filter(
+                F.col("_c_verdict").isNull()
+                | F.col("_c_verdict").isin("delete", "bump")
+            )
+            .withColumn(
+                s.load_seq,
+                F.when(
+                    F.col("_c_verdict").isin("delete", "bump"), F.col("_c_seq")
+                ).otherwise(F.col(s.load_seq)),
+            )
+            .withColumn(
+                s.finish_ts,
+                F.when(F.col("_c_verdict") == "delete", F.col("_c_ts")).otherwise(
+                    F.col(s.finish_ts)
+                ),
+            )
+            .withColumn(
+                s.deleted_runid,
+                F.when(
+                    F.col("_c_verdict") == "delete", F.lit(batch_id).cast("long")
+                ).otherwise(F.col(s.deleted_runid)),
+            )
+            .withColumn(
+                s.active,
+                F.when(F.col("_c_verdict") == "delete", F.lit(False)).otherwise(
+                    F.col(s.active)
+                ),
+            )
+            .drop("_c_key", "_c_verdict", "_c_ts", "_c_seq")
+        )
+
+        # additive schema evolution: older head rows may predate new payload
+        # columns — align both frames to the new column set
+        def _align(df: DataFrame) -> DataFrame:
+            for c in new_versions.columns:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(dict(new_versions.dtypes)[c]))
+            return df.select(new_versions.columns)
+
+        new_head = _align(kept).unionByName(new_versions)
+        hist_rows = _align(to_hist)
+
+        # 7. commit: history append FIRST (idempotent via its own batch log),
+        #    head overwrite SECOND (the authoritative "batch applied" marker);
+        #    a crash between the two replays cleanly (hist skips, head redoes)
+        if batch_id not in table.hist.committed_batch_ids():
+            hist_buckets = [
+                r[0] for r in hist_rows.select(BUCKET_COL).distinct().collect()
+            ]
+            if hist_buckets:
+                table.hist.commit(
+                    hist_rows,
+                    hist_buckets,
+                    batch_id,
+                    metrics={"closed_rows_appended": True},
+                    mode="append",
+                )
+        table.head.commit(
+            new_head, write_buckets, batch_id, recipe=recipe, metrics=metrics
+        )
+        _cleanup()
         return metrics

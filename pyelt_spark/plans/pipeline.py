@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyelt_spark.operators.hubs import HubMerge, LinkMerge
-from pyelt_spark.operators.scd2 import Scd2Merge
+from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table
 from pyelt_spark.storage.lake import LakeTable
 
 PAYLOAD_COLS = ["role", "text", "tool"]
@@ -39,7 +39,7 @@ class TranscriptVault:
         self.spark = spark
         self.root = root
         self.hub = LakeTable(spark, os.path.join(root, "conversation_hub"), num_buckets)
-        self.sat = LakeTable(spark, os.path.join(root, "turn_sat"), num_buckets)
+        self.sat = Scd2Table(spark, os.path.join(root, "turn_sat"), num_buckets)
         self.link = LakeTable(spark, os.path.join(root, "conversation_tool_link"), num_buckets)
         self.sat_merge = Scd2Merge(
             business_keys=BUSINESS_KEYS,
@@ -110,8 +110,7 @@ class TranscriptVault:
         subject (ensemble-view analog, ddl.py:505-531)."""
         s = self.sat_merge.sys
         return (
-            self.sat.read()
-            .filter(F.col(s.active))
+            self.sat.current()
             .select("conv_id", "turn_idx", "role", "text", "tool", s.revision, s.runid)
             .orderBy("conv_id", "turn_idx")
         )
@@ -120,7 +119,7 @@ class TranscriptVault:
         """Hub LEFT JOIN active sat for one conversation (pruned read)."""
         s = self.sat_merge.sys
         hub = self.hub.read().filter(F.col("conv_id") == conv_id)
-        sat = self.sat.read().filter(F.col(s.active) & (F.col("conv_id") == conv_id))
+        sat = self.sat.current().filter(F.col("conv_id") == conv_id)
         return hub.select("_key", "bk", "conv_id").join(
             sat.select(
                 "conv_id", "turn_idx", "role", "text", "tool", s.revision

@@ -6,8 +6,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
-from pyelt_spark.operators.scd2 import Scd2Merge
-from pyelt_spark.storage.lake import LakeTable
+from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table
 
 TS = dt.datetime(2024, 1, 1)
 
@@ -40,7 +39,7 @@ def _mk(spark, rows, cols=("seq", "conv_id", "turn_idx", "role", "text", "tool",
 
 
 def test_scd2_full_lifecycle(spark, tmp_path):
-    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
     m = _merge()
 
     # batch 1: first load — 2 keys (one via two in-batch versions: latest wins)
@@ -91,7 +90,7 @@ def test_scd2_full_lifecycle(spark, tmp_path):
 
 
 def test_scd2_idempotent_replay(spark, tmp_path):
-    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
     m = _merge()
     b1 = _mk(spark, [_ev(1, "c1", 0, "x"), _ev(2, "c2", 0, "y")])
     m.apply_batch(t, b1, batch_id=1)
@@ -109,7 +108,7 @@ def test_scd2_idempotent_replay(spark, tmp_path):
 
 
 def test_delete_then_nothing(spark, tmp_path):
-    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
     m = _merge()
     m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, "x")]), 1)
     # delete of a key that was never loaded → no-op
@@ -119,7 +118,7 @@ def test_delete_then_nothing(spark, tmp_path):
 
 
 def test_schema_evolution_no_spurious_reversion(spark, tmp_path):
-    t = LakeTable(spark, str(tmp_path / "sat"), num_buckets=4)
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
     m = _merge()
     m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, "x"), _ev(2, "c1", 1, "y")]), 1)
 
@@ -159,3 +158,58 @@ def test_schema_evolution_no_spurious_reversion(spark, tmp_path):
     # old rows read back with meta as NULL (additive evolution)
     assert st.filter("not _active").first()["meta"] is None
     assert t.recipe().current_version == 2
+
+
+def test_stale_events_cannot_regress_state(spark, tmp_path):
+    """Out-of-order delivery ACROSS batches: late events older than the
+    applied state are stale and must not regress it."""
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    m.apply_batch(t, _mk(spark, [_ev(10, "c1", 0, "v10")]), 1)
+
+    # late batch with an OLDER event for the same key → stale, ignored
+    met = m.apply_batch(t, _mk(spark, [_ev(5, "c1", 0, "v5-late")]), 2)
+    assert met["stale"] == 1 and met["updated"] == 0
+    assert t.current().first()["text"] == "v10"
+
+    # content-equal but newer event bumps the stored seq...
+    met = m.apply_batch(t, _mk(spark, [_ev(20, "c1", 0, "v10")]), 3)
+    assert met["unchanged"] == 1
+    # ...so an in-between straggler (seq 15) is now stale too
+    met = m.apply_batch(t, _mk(spark, [_ev(15, "c1", 0, "v15-late")]), 4)
+    assert met["stale"] == 1
+    assert t.current().first()["text"] == "v10"
+
+
+def test_late_predelete_update_cannot_resurrect(spark, tmp_path):
+    """The tombstone carries the DELETE's seq: a late update with a seq
+    between the last content seq and the delete seq must stay dead."""
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    m.apply_batch(t, _mk(spark, [_ev(5, "c1", 0, "alive")]), 1)
+    m.apply_batch(t, _mk(spark, [_ev(9, "c1", 0, "x", op="D")]), 2)
+    assert t.current().count() == 0
+
+    # straggler between content seq (5) and delete seq (9)
+    met = m.apply_batch(t, _mk(spark, [_ev(7, "c1", 0, "zombie")]), 3)
+    assert met["stale"] == 1 and met["inserted"] == 0
+    assert t.current().count() == 0
+
+    # genuinely newer upsert after the delete DOES reinsert
+    met = m.apply_batch(t, _mk(spark, [_ev(12, "c1", 0, "back")]), 4)
+    assert met["inserted"] == 1
+    cur = t.current().first()
+    assert cur["text"] == "back" and cur["_revision"] == 1
+
+
+def test_head_is_one_row_per_key(spark, tmp_path):
+    """The merge-facing head table holds exactly one row per key no matter
+    how many versions accumulate (the 100 TB state-I/O invariant)."""
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    for b in range(5):
+        m.apply_batch(t, _mk(spark, [_ev(10 * b + 1, "c1", 0, f"v{b}")]), b + 1)
+    assert t.head.read().count() == 1
+    assert t.read().count() == 5          # full history preserved
+    assert t.current().first()["text"] == "v4"
+    assert t.current().first()["_revision"] == 4
