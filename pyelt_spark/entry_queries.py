@@ -545,3 +545,311 @@ ORACLES = {
     "events_hourly_rollup": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: documents (text analysis + dedup)
+# --------------------------------------------------------------------------
+
+# SQL twin of functions.text.normalized
+SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_EN = "['the','a','of','and','to','in','is','that','it','for']"
+_DE = "['der','die','das','und','ist','ein','zu','mit','von','nicht']"
+_FR = "['le','la','les','et','est','un','une','de','que','pour']"
+_ES = "['el','la','los','y','es','un','una','de','que','por']"
+
+
+def q_doc_token_count(spark, sf_dir):
+    from pyelt_spark.functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+SQL_DOC_TOKEN_COUNT = """
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    from pyelt_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+SQL_DOC_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(len(list_filter(string_split({SQL_NORM}, ' '), x -> list_contains({_EN}, x))) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+  round((
+    least(n_tok / 100.0, 1.0)
+    + (1.0 - least(n_punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 5, 1.0))
+    + least(n_stop / greatest(n_tok, 1.0) * 4, 1.0)
+  ) / 3, 6) AS quality
+FROM t
+"""
+
+
+def q_doc_langid(spark, sf_dir):
+    from pyelt_spark.functions.text import langid
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", langid("text").alias("lang_guess"))
+
+
+SQL_DOC_LANGID = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split({SQL_NORM}, ' ') AS w FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+    len(list_filter(w, x -> list_contains({_EN}, x))) AS en,
+    len(list_filter(w, x -> list_contains({_DE}, x))) AS de,
+    len(list_filter(w, x -> list_contains({_FR}, x))) AS fr,
+    len(list_filter(w, x -> list_contains({_ES}, x))) AS es
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+    WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+    WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+    WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+    ELSE 'und' END AS lang_guess
+FROM h
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from pyelt_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, sha256({SQL_NORM}) AS fingerprint FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pyelt_spark.operators.docdedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = f"""
+SELECT sha256({SQL_NORM}) AS fingerprint,
+  min(doc_id) AS canonical_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+# shared SQL fragment: distinct word-3-gram shingles per doc
+SQL_SHINGLES3 = f"""
+norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(0, greatest(len(w) - 3, 0) + 1),
+      i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')
+    )) AS s
+  FROM toks
+)
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from pyelt_spark.operators.docdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.12, max_docfreq=50
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {SQL_SHINGLES3},
+inv AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+rare AS (SELECT sg, list(doc_id) AS ids FROM inv GROUP BY sg HAVING count(*) <= 50),
+p1 AS (SELECT unnest(ids) AS a, ids FROM rare),
+pairs AS (
+  SELECT a, unnest(ids) AS b FROM p1
+),
+cand AS (SELECT a, b FROM pairs WHERE a < b GROUP BY a, b),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT c.a AS doc_a, c.b AS doc_b,
+  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(za.n + zb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.a
+JOIN sh sb ON sb.doc_id = c.b
+JOIN sz za ON za.doc_id = c.a
+JOIN sz zb ON zb.doc_id = c.b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / CAST(za.n + zb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.12
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from pyelt_spark.operators.docdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=12, bands=4, n=3, threshold=0.12
+    )
+
+
+_MINHASH_COLS = ",\n    ".join(
+    f"list_min(list_transform(s, x -> sha256(x || ':{i}'))) AS m{i}" for i in range(12)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, concat_ws('|', m{b * 3}, m{b * 3 + 1}, m{b * 3 + 2}) AS key FROM sig"
+    for b in range(4)
+)
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {SQL_SHINGLES3},
+sig AS (
+  SELECT doc_id, s,
+    {_MINHASH_COLS}
+  FROM sh
+),
+buckets AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT c.a AS doc_a, c.b AS doc_b,
+  round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(za.n + zb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.a
+JOIN sh sb ON sb.doc_id = c.b
+JOIN sz za ON za.doc_id = c.a
+JOIN sz zb ON zb.doc_id = c.b
+WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / CAST(za.n + zb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.12
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash via vectorized Arrow pandas_udf — no SQL oracle (the driver
+    records a rows-only check)."""
+    from pyelt_spark.operators.docdedup import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: embeddings (similarity search)
+# --------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from pyelt_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=5)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+    round(list_dot_product(qv, cv)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM q, c WHERE nid <> qid
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Exact cosine near-dup pairs (brute force — the verifier baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id"), v.alias("_v")).withColumn(
+        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda s, x: s + x * x))
+    )
+    a = base.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= 0.5)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_DUP_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-cell ANN (recall < 1 by design) — rows-only check, no oracle."""
+    from pyelt_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, planes=3)
+
+
+QUERIES.update(
+    {
+        "doc_token_count": q_doc_token_count,
+        "doc_quality_score": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+    }
+)
+
+ORACLES.update(
+    {
+        "doc_token_count": SQL_DOC_TOKEN_COUNT,
+        "doc_quality_score": SQL_DOC_QUALITY,
+        "doc_langid": SQL_DOC_LANGID,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+        "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
+        # dedup_simhash, ann_ivf_topk: intentionally no oracle (rows-only)
+    }
+)

@@ -44,7 +44,10 @@ def fingerprint(col: str | Column) -> Column:
 
 def punct_count(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.length(c) - F.length(F.regexp_replace(c, r"[[:punct:]]", ""))
+    # Java regex: \p{Punct} is the ASCII punct set (POSIX [[:punct:]] is NOT
+    # supported by java.util.regex); the DuckDB oracle's RE2 [[:punct:]]
+    # matches the identical ASCII set
+    return F.length(c) - F.length(F.regexp_replace(c, r"\p{Punct}", ""))
 
 
 def stopword_hits(col: str | Column, lang: str = "en") -> Column:

@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from pyelt_spark.functions.text import fingerprint, normalized, shingles
@@ -176,7 +177,7 @@ def minhash_lsh_pairs(
     )
 
 
-@pandas_udf("long")
+@pandas_udf(T.LongType())
 def _simhash64(texts: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash (Arrow batches; numpy inside)."""
     import hashlib
@@ -191,12 +192,16 @@ def _simhash64(texts: pd.Series) -> pd.Series:
         if not toks:
             continue
         acc = np.zeros(64, dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
         for tok in toks:
-            h = int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
-            bits = (h >> np.arange(64)) & 1
+            h = np.uint64(
+                int.from_bytes(hashlib.sha256(tok.encode()).digest()[:8], "big")
+            )
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
             acc += bits * 2 - 1
-        sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-        out[i] = np.int64(np.uint64(sig).astype(np.int64))
+        sig = np.uint64(0)
+        sig = (((acc > 0).astype(np.uint64)) << shifts).sum(dtype=np.uint64)
+        out[i] = np.int64(sig.astype(np.int64))
     return pd.Series(out)
 
 

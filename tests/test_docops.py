@@ -1,0 +1,149 @@
+"""Training-data-pipeline operators: text analysis, dedup, ANN, multimodal."""
+
+from pyspark.sql import functions as F
+
+from pyelt_spark.functions.text import (
+    fingerprint,
+    langid,
+    quality_score,
+    shingles,
+    token_count,
+)
+from pyelt_spark.operators.docdedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_dup_pairs,
+)
+from pyelt_spark.operators.multimodal import (
+    extract_features,
+    sample_frames,
+    synthetic_media,
+)
+from pyelt_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+        (4, "der hund und die katze sind nicht ein tier mit der maus"),
+        (5, "completely different content about spark query engines at scale"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_functions(spark):
+    df = _docs(spark)
+    out = df.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        langid("text").alias("lang"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tok"] == 12
+    assert by_id[1]["lang"] == "en"
+    assert by_id[4]["lang"] == "de"
+    assert by_id[1]["fp"] == by_id[2]["fp"] != by_id[3]["fp"]
+    assert 0.0 <= by_id[5]["q"] <= 1.0
+
+
+def test_exact_dedup(spark):
+    groups = exact_dedup(_docs(spark)).collect()
+    dup_groups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["canonical_id"] == 1 and dup_groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_and_minhash_agree(spark):
+    df = _docs(spark)
+    exact_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    assert (1, 2) in exact_pairs          # exact dup pair
+    assert (1, 3) in exact_pairs or (2, 3) in exact_pairs  # near dup found
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(df, n=3, threshold=0.3).collect()
+    }
+    # LSH candidates are a subset of exact pairs (verification step) and
+    # must recall the identical-document pair with certainty
+    assert lsh_pairs <= exact_pairs
+    assert (1, 2) in lsh_pairs
+
+
+def test_simhash(spark):
+    df = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[5]
+    pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_dup_pairs(df).collect()}
+    assert (1, 2) in pairs
+
+
+def _vectors(spark, n=40, dim=8):
+    from pyspark.sql import functions as FF
+
+    v = FF.transform(
+        FF.sequence(FF.lit(0), FF.lit(dim - 1)),
+        lambda j: FF.sin(FF.col("id").cast("double") * 0.7 + j.cast("double")),
+    )
+    return spark.range(n).select(FF.col("id").alias("vec_id"), v.alias("embedding"))
+
+
+def test_cosine_topk_and_ivf(spark):
+    corpus = _vectors(spark)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(corpus, queries, k=5)
+    rows = exact.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    per_q = [r for r in rows if r["query_id"] == 0]
+    assert [r["rank"] for r in sorted(per_q, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    # scores descend with rank
+    sc = [r["cosine"] for r in sorted(per_q, key=lambda r: r["rank"])]
+    assert sc == sorted(sc, reverse=True)
+
+    # IVF probes only the query's cell: results are a subset of exact
+    # ranking restricted to that cell, every hit's cosine must match the
+    # exact score for the same (query, neighbor)
+    ivf = ivf_topk(corpus, queries, k=5, planes=2).collect()
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in rows}
+    all_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(corpus, queries, k=40).collect()
+    }
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in all_scores and abs(all_scores[key] - r["cosine"]) < 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == 16 and r["decode_ok"] for r in feats)
+    # determinism: same payload → same fake feature
+    again = extract_features(synthetic_media(spark, n=30), dim=16).collect()
+    a = {r["media_id"]: r["feature"] for r in feats}
+    b = {r["media_id"]: r["feature"] for r in again}
+    assert a == b
+
+    frames = sample_frames(media, every_ms=10_000).collect()
+    vids = [r for r in synthetic_media(spark, n=30).collect() if r["kind"] == "video"]
+    assert len({r["media_id"] for r in frames}) == len(vids)
+    for r in frames:
+        assert isinstance(r["frame"], (bytes, bytearray)) and r["frame_idx"] >= 0
+
+
+def test_real_decode_raises(spark):
+    import pytest
+
+    media = synthetic_media(spark, n=3)
+    with pytest.raises(Exception):
+        extract_features(media, fake_decode=False).collect()
