@@ -853,3 +853,79 @@ ORACLES.update(
         # dedup_simhash, ann_ivf_topk: intentionally no oracle (rows-only)
     }
 )
+
+
+# --------------------------------------------------------------------------
+# validation + snapshot-diff deletes (operator queries with SQL oracles)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_validation(spark, sf_dir):
+    """Row-rule + duplicate-key validation (etl.py:349-388): the invalid
+    rows with their accumulated messages."""
+    from pyelt_spark.operators.validate import RowRule, apply_rules, mark_duplicate_keys
+
+    ev = derived_events(spark, sf_dir)
+    out = apply_rules(ev, [RowRule(F.col("turn_idx") >= 14, "turn index out of range")])
+    out = mark_duplicate_keys(out, ["conv_id", "turn_idx"], batch_col="batch_id")
+    return out.filter(~F.col("_valid")).select(
+        "seq", "conv_id", "turn_idx", "_validation_msg"
+    )
+
+
+SQL_CDC_VALIDATION = f"""
+WITH {EV_CTE},
+d AS (
+  SELECT *, count(*) OVER (PARTITION BY batch_id, conv_id, turn_idx) AS n FROM ev
+)
+SELECT seq, conv_id, turn_idx,
+  concat_ws('; ',
+    CASE WHEN turn_idx >= 14 THEN 'turn index out of range' END,
+    CASE WHEN n > 1 THEN 'duplicate key' END) AS _validation_msg
+FROM d WHERE turn_idx >= 14 OR n > 1
+"""
+
+
+def q_cdc_snapshot_deletes(spark, sf_dir):
+    """Full-snapshot delete detection (etl.py:180-183): apply batch 0 as
+    state, treat batch 1's keys as a complete snapshot, emit missing keys."""
+    import tempfile
+
+    from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table, snapshot_delete_events
+    from pyelt_spark.plans.pipeline import BUSINESS_KEYS, PAYLOAD_COLS
+
+    ev = derived_events(spark, sf_dir)
+    t = Scd2Table(spark, tempfile.mkdtemp(prefix="snapdel_"), num_buckets=8)
+    m = Scd2Merge(
+        business_keys=BUSINESS_KEYS, payload_cols=PAYLOAD_COLS, order_by=["seq"]
+    )
+    m.apply_batch(t, ev.filter(F.col("batch_id") == 0), batch_id=0)
+    snapshot = ev.filter(F.col("batch_id") == 1)
+    dels = snapshot_delete_events(t, snapshot, m, seq_value=1)
+    return dels.select("conv_id", "turn_idx")
+
+
+SQL_CDC_SNAPSHOT_DELETES = f"""
+WITH {EV_CTE},
+l0 AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY seq DESC) AS rn
+  FROM ev WHERE batch_id = 0
+),
+alive AS (SELECT conv_id, turn_idx FROM l0 WHERE rn = 1 AND op <> 'D')
+SELECT conv_id, turn_idx FROM alive
+EXCEPT
+SELECT DISTINCT conv_id, turn_idx FROM ev WHERE batch_id = 1
+"""
+
+QUERIES.update(
+    {
+        "cdc_validation": q_cdc_validation,
+        "cdc_snapshot_deletes": q_cdc_snapshot_deletes,
+    }
+)
+ORACLES.update(
+    {
+        "cdc_validation": SQL_CDC_VALIDATION,
+        "cdc_snapshot_deletes": SQL_CDC_SNAPSHOT_DELETES,
+    }
+)

@@ -30,12 +30,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyelt_spark.functions.hashing import hashdiff
 
 
 def _tiebreak(df: DataFrame, order_by: list[str]) -> Column:
+    # xxhash64 (not sha) — this runs on EVERY input row pre-dedup, and only
+    # has to order duplicate (key, seq) forks deterministically
     payload = [c for c in df.columns if c not in order_by]
-    return hashdiff(sorted(payload))
+    return F.xxhash64(*[F.col(c) for c in sorted(payload)])
 
 
 def latest_per_key(

@@ -400,9 +400,11 @@ class Scd2Merge:
         #    head overwrite SECOND (the authoritative "batch applied" marker);
         #    a crash between the two replays cleanly (hist skips, head redoes)
         if batch_id not in table.hist.committed_batch_ids():
-            hist_buckets = [
-                r[0] for r in hist_rows.select(BUCKET_COL).distinct().collect()
-            ]
+            # hist rows are the head rows of update/reinsert keys, so their
+            # buckets are already known from the verdict aggregation
+            hist_buckets = sorted(
+                {r[BUCKET_COL] for r in vc if r["_verdict"] in ("update", "reinsert")}
+            )
             if hist_buckets:
                 table.hist.commit(
                     hist_rows,
@@ -416,3 +418,61 @@ class Scd2Merge:
         )
         _cleanup()
         return metrics
+
+
+def snapshot_delete_events(
+    table: Scd2Table,
+    snapshot: DataFrame,
+    merge: "Scd2Merge",
+    seq_value: int,
+) -> DataFrame:
+    """Full-snapshot delete detection (pyelt/process/etl.py:180-183): keys
+    ACTIVE in state but absent from the snapshot become tombstone events.
+
+    Unlike the CDC path this necessarily scans the whole head (the snapshot
+    claims completeness), but only the head — one row per live key, never
+    the history. Returns D-events shaped like the snapshot's rows; union
+    them with the snapshot upserts and run the normal merge.
+    """
+    s = merge.sys
+    alive = table.current().select(*merge.business_keys, F.col(s.insert_ts))
+    present = snapshot.select(*merge.business_keys).distinct()
+    missing = alive.join(present, merge.business_keys, "left_anti")
+    d = missing.select(
+        *[F.col(c) for c in merge.business_keys],
+        *[
+            F.lit(None).cast("string").alias(c)
+            for c in merge.payload_cols
+        ],
+        F.col(s.insert_ts).cast("timestamp").alias(merge.ts_col),
+    )
+    d = d.withColumn(merge.order_by[0], F.lit(seq_value).cast("long"))
+    if merge.op_col:
+        d = d.withColumn(merge.op_col, F.lit("D"))
+    return d
+
+
+def apply_snapshot(
+    table: Scd2Table,
+    merge: "Scd2Merge",
+    snapshot: DataFrame,
+    batch_id: int,
+    lineage: dict | None = None,
+) -> dict:
+    """Apply a FULL-snapshot batch (the reference's file-load path,
+    etl.py:108-187): rows become upsert events at seq=batch_id; keys
+    missing from the snapshot become deletes. EXCEPT-vs-active semantics
+    (etl.py:156-163) fall out of the hashdiff comparison."""
+    ev = snapshot
+    seq_col = merge.order_by[0]
+    if seq_col not in ev.columns:
+        ev = ev.withColumn(seq_col, F.lit(batch_id).cast("long"))
+    if merge.op_col and merge.op_col not in ev.columns:
+        ev = ev.withColumn(merge.op_col, F.lit("U"))
+    first_load = table.last_commit() is None or not table.last_commit().buckets
+    if not first_load:
+        dels = snapshot_delete_events(table, snapshot, merge, seq_value=batch_id)
+        ev = ev.select(sorted(ev.columns)).unionByName(
+            dels.select(sorted(dels.columns)), allowMissingColumns=True
+        )
+    return merge.apply_batch(table, ev, batch_id, lineage=lineage)

@@ -81,14 +81,23 @@ class TranscriptVault:
         # still registers its conversation); the sat merge dedups internally
         upserts = events.filter(F.col("op") != "D") if "op" in events.columns else events
 
-        m_hub = self.hub_merge.apply_batch(self.hub, upserts, batch_id)
-        m_sat = self.sat_merge.apply_batch(
-            self.sat, events, batch_id, lineage=lineage or {}
-        )
-        m_link = self.link_merge.apply_batch(
-            self.link, upserts.filter(F.col("tool").isNotNull()), batch_id
-        )
-        return {"hub": m_hub, "sat": m_sat, "link": m_link}
+        # the three merges touch disjoint tables and all derive from the same
+        # batch — submit them concurrently (Spark's scheduler interleaves the
+        # jobs; on a cluster this overlaps three shuffle/write pipelines)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_hub = pool.submit(self.hub_merge.apply_batch, self.hub, upserts, batch_id)
+            f_sat = pool.submit(
+                self.sat_merge.apply_batch, self.sat, events, batch_id, lineage or {}
+            )
+            f_link = pool.submit(
+                self.link_merge.apply_batch,
+                self.link,
+                upserts.filter(F.col("tool").isNotNull()),
+                batch_id,
+            )
+            return {"hub": f_hub.result(), "sat": f_sat.result(), "link": f_link.result()}
 
     def replay(self, events: DataFrame, batch_col: str = "batch_id") -> list[dict]:
         """Replay a full change stream batch-by-batch in batch order."""

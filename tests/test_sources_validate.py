@@ -1,0 +1,173 @@
+"""Sources (CSV reflect, fixed-width, query), validation/exceptions,
+snapshot-diff deletes, transforms, valuesets, ensemble views."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pyelt_spark.functions.transforms import FieldTransform, apply_sql_chain, lookup
+from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table, apply_snapshot
+from pyelt_spark.operators.validate import (
+    RowRule,
+    apply_rules,
+    mark_duplicate_keys,
+    quarantine_exceptions,
+    split_valid,
+)
+from pyelt_spark.plans.views import ValuesetTable, current_state_view, ensemble_view
+from pyelt_spark.sources.files import (
+    FixedWidthField,
+    clean_name,
+    read_csv,
+    read_fixed_width,
+    source_query,
+)
+from pyelt_spark.storage.lake import LakeTable
+
+
+def test_clean_name():
+    assert clean_name("Patient Nummer") == "patient_nummer"
+    assert clean_name("BSN-code.v2") == "bsn_code_v2"
+    assert clean_name("2weird!!name") == "_2weirdname"
+
+
+def test_read_csv_reflect(spark, tmp_path):
+    p = tmp_path / "pat.csv"
+    p.write_text("Patient Nummer;Achter Naam;geslacht\n1;Jansen;M\n2;Vries;V\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["patient_nummer", "achter_naam", "geslacht"]
+    assert dict(df.dtypes)["patient_nummer"] == "string"  # SOR all-text contract
+    assert df.count() == 2
+
+
+def test_read_fixed_width(spark, tmp_path):
+    p = tmp_path / "fix.txt"
+    p.write_text("001Jansen    M\n002Vries     V\n")
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [
+            FixedWidthField("nr", 1, 3),
+            FixedWidthField("naam", 4, 10),
+            FixedWidthField("geslacht", 14, 1),
+        ],
+    )
+    rows = {r["nr"]: r for r in df.collect()}
+    assert rows["001"]["naam"] == "Jansen" and rows["002"]["geslacht"] == "V"
+
+
+def test_source_query(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    out = source_query(spark, "SELECT v, id * 2 AS id2 FROM src WHERE id > 1", {"src": df})
+    assert out.collect() == [("b", 4)] or out.collect()[0]["id2"] == 4
+
+
+def test_validation_rules_and_exceptions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "ok", "1234AB"), (2, None, "1234AB"), (3, "ok", "bad")],
+        "id long, name string, postcode string",
+    )
+    rules = [
+        RowRule(F.col("name").isNull(), "name missing"),
+        RowRule(~F.col("postcode").rlike(r"^[0-9]{4}[A-Z]{2}$"), "bad postcode"),
+    ]
+    out = apply_rules(df, rules)
+    bad = {r["id"]: r["_validation_msg"] for r in out.filter("not _valid").collect()}
+    assert bad == {2: "name missing", 3: "bad postcode"}
+
+    valid, invalid = split_valid(out)
+    assert valid.count() == 1 and invalid.count() == 2
+
+    exc = LakeTable(spark, str(tmp_path / "exceptions"), num_buckets=4)
+    m = quarantine_exceptions(exc, invalid, batch_id=1, key_cols=["id"])
+    assert m["new_exceptions"] == 2
+    # rerun with same content under new batch: nothing new (anti-join)
+    m = quarantine_exceptions(exc, invalid, batch_id=2, key_cols=["id"])
+    assert m["new_exceptions"] == 0
+    assert exc.read().count() == 2
+
+
+def test_mark_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [(1, "k1"), (1, "k1"), (1, "k2"), (2, "k1")], "batch long, k string"
+    )
+    out = mark_duplicate_keys(df, ["k"], batch_col="batch")
+    assert out.filter("not _valid").count() == 2  # only the (1, k1) pair
+    assert out.filter("_valid").count() == 2
+
+
+def test_snapshot_diff_deletes(spark, tmp_path):
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = Scd2Merge(
+        business_keys=["pid"], payload_cols=["naam"], order_by=["seq"], ts_col="ts"
+    )
+    ts = dt.datetime(2024, 1, 1)
+    snap1 = spark.createDataFrame(
+        [("p1", "Jansen", ts), ("p2", "Vries", ts), ("p3", "Berg", ts)],
+        "pid string, naam string, ts timestamp",
+    )
+    met = apply_snapshot(t, m, snap1, batch_id=1)
+    assert met["inserted"] == 3
+
+    # snapshot 2: p2 changed, p3 gone → delete detected; p1 unchanged
+    snap2 = spark.createDataFrame(
+        [("p1", "Jansen", ts), ("p2", "de Vries", ts)],
+        "pid string, naam string, ts timestamp",
+    )
+    met = apply_snapshot(t, m, snap2, batch_id=2)
+    assert met["updated"] == 1 and met["deleted"] == 1 and met["unchanged"] == 1
+    cur = {r["pid"]: r["naam"] for r in t.current().collect()}
+    assert cur == {"p1": "Jansen", "p2": "de Vries"}
+    gone = t.head.read().filter("pid = 'p3'").first()
+    assert not gone["_active"] and gone["_deleted_runid"] == 2
+
+    # idempotent re-apply of the same snapshot (EXCEPT semantics)
+    met = apply_snapshot(t, m, snap2, batch_id=3)
+    assert met["inserted"] == 0 and met["updated"] == 0 and met["deleted"] == 0
+
+
+def test_transforms(spark):
+    df = spark.createDataFrame([("AbC",)], "id string")
+    t = FieldTransform([lambda c: F.lower(c)]).then(lambda c: F.concat(c, F.lit("01")))
+    assert df.select(t("id").alias("o")).first()["o"] == "abc01"
+    # reference-style {fld} template chain (test06_transformations.py:6-32)
+    out = apply_sql_chain(
+        df, "id", ["lower({fld})", "concat({fld}, '01')", "concat({fld}, '02')"], "bk"
+    )
+    assert out.first()["bk"] == "abc0102"
+    lk = spark.createDataFrame([("M", "Man")], "geslacht string, descr string")
+    src = spark.createDataFrame([("M",), ("X",)], "geslacht string")
+    res = {r["geslacht"]: r["d"] for r in lookup(src, lk, "geslacht", "descr", "d", default="?").collect()}
+    assert res == {"M": "Man", "X": "?"}
+
+
+def test_valueset_and_views(spark, tmp_path):
+    ts = dt.datetime(2024, 1, 1)
+    vs = ValuesetTable(spark, str(tmp_path / "valsets"))
+    rows = spark.createDataFrame(
+        [
+            ("geslacht", "M", "Man", 1, ts, "U"),
+            ("geslacht", "V", "Vrouw", 2, ts, "U"),
+            ("status", "A", "Actief", 3, ts, "U"),
+        ],
+        "valueset string, code string, description string, seq long, ts timestamp, op string",
+    )
+    vs.apply_batch(rows, batch_id=1)
+    # SCD2 on valuesets: description change creates a new version
+    upd = spark.createDataFrame(
+        [("geslacht", "M", "Mannelijk", 10, ts, "U")],
+        "valueset string, code string, description string, seq long, ts timestamp, op string",
+    )
+    met = vs.apply_batch(upd, batch_id=2)
+    assert met["updated"] == 1
+    assert vs.table.read().count() == 4  # 3 + 1 closed version
+
+    src = spark.createDataFrame([("p1", "M"), ("p2", "X")], "pid string, geslacht string")
+    dec = vs.decode_view(src, "geslacht", "geslacht")
+    got = {r["pid"]: r["geslacht_descr"] for r in dec.collect()}
+    assert got == {"p1": "Mannelijk", "p2": None}
+
+    # ensemble view: chained left joins
+    extra = spark.createDataFrame([("p1", 42)], "pid string, score int")
+    ens = ensemble_view(src, [(extra, ["pid"], "left")])
+    assert {r["pid"]: r["score"] for r in ens.collect()} == {"p1": 42, "p2": None}
