@@ -3,13 +3,13 @@
 Headline metric: sustained CDC merge-apply throughput (change-events/sec)
 of the full vault replay (dedup → hashdiff → hub/sat/link merge → commit)
 over the change-event stream derived from $SPARK_GRAFT_SF_DIR's events
-table, on local[$SPARK_GRAFT_CPUS].
+table, on local[$SPARK_GRAFT_CPUS]. State-read queries (current turns,
+SCD2 history) run against the vault that replay produced.
 
 Scaling-efficiency evidence (BASELINE.md north rule, sandbox protocol):
-run ``python bench.py --scaling`` to execute the identical merge-apply job
-at local[8] and local[32] on the same input and report throughput at both
-plus efficiency = (T_8 / T_32) / 4. Written into the JSON under
-``scaling`` (the per-round driver run uses the default single-level mode).
+``python bench.py --scaling`` executes the identical merge-apply job at
+local[8] and local[32] on the same input and reports throughput at both
+plus efficiency = (T_8 / T_32) / 4.
 """
 
 from __future__ import annotations
@@ -24,17 +24,22 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# operator queries timed at the bench sf (replay-state queries handled
+# separately against the bench vault)
 BENCH_QUERIES = [
     "cdc_latest_per_key",
     "cdc_changed_rows",
-    "cdc_current_turns",   # triggers the full replay (memoized)
-    "cdc_scd2_history",
+    "cdc_dup_key_validation",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_revenue",
     "top_orders_per_customer",
     "events_hourly_rollup",
     "events_sessionize",
+    "doc_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
 ]
 
 
@@ -48,8 +53,9 @@ def _fresh_spark(n_cpus: str, app: str):
     )
 
 
-def run_merge_apply(spark, sf_dir: str) -> tuple[float, int]:
-    """The headline job: full vault replay. Returns (seconds, n_events)."""
+def run_merge_apply(spark, sf_dir: str, keep_vault: bool = False):
+    """The headline job: full vault replay in 8 microbatches.
+    Returns (seconds, n_events, vault_or_None)."""
     from pyspark.sql import functions as F
 
     from pyelt_spark.entry_queries import derived_events
@@ -58,29 +64,52 @@ def run_merge_apply(spark, sf_dir: str) -> tuple[float, int]:
 
     ev = derived_events(spark, sf_dir)
     n = ev.count()
-    # microbatch into 8 batches regardless of sf (sustained-throughput shape;
-    # the correctness queries keep their fixed oracle batching)
     ev = ev.withColumn(
         "batch_id", F.floor(F.col("seq") / F.lit(max(n // 8, 1))).cast("long")
     ).persist()
     root = tempfile.mkdtemp(prefix="bench_vault_")
-    try:
-        vault = TranscriptVault(spark, root, num_buckets=max(int(CPUS), 8))
-        t0 = time.perf_counter()
-        MicrobatchRunner(vault).replay(ev)
-        dt = time.perf_counter() - t0
-    finally:
+    vault = TranscriptVault(spark, root, num_buckets=max(int(CPUS), 8))
+    t0 = time.perf_counter()
+    MicrobatchRunner(vault).replay(ev)
+    dt = time.perf_counter() - t0
+    ev.unpersist()
+    if not keep_vault:
         shutil.rmtree(root, ignore_errors=True)
-        ev.unpersist()
-    return dt, n
+        vault = None
+    return dt, n, vault
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same job, two parallelism levels (N=8 and 4N=32 cores)."""
-    out = {}
+    """The identical merge-apply job at two parallelism levels (N=8 and
+    4N=32 cores) on the same input — the sandbox stand-in for N vs 4N
+    executors (BASELINE.md). The input is a deterministically generated
+    change-event stream big enough that compute (hashing, dedup shuffle,
+    merge join, parquet write) dominates driver latency; it is written to
+    parquet ONCE and both runs read the same files."""
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.sources.events import transcript_change_events
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    n_events = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "2000000"))
+    input_dir = os.path.join(tempfile.gettempdir(), f"scaling_input_{n_events}")
+    if not os.path.exists(os.path.join(input_dir, "_SUCCESS")):
+        gen = _fresh_spark("32", "bench_scaling_gen")
+        transcript_change_events(
+            gen, n_events, batch_size=max(n_events // 4, 1), seed=42
+        ).write.mode("overwrite").parquet(input_dir)
+        gen.stop()
+
+    out = {"n_events_requested": n_events, "input": input_dir}
     for cpus in ("8", "32"):
         spark = _fresh_spark(cpus, f"bench_scaling_{cpus}")
-        dt, n = run_merge_apply(spark, sf_dir)
+        ev = spark.read.parquet(input_dir)
+        n = ev.count()
+        root = tempfile.mkdtemp(prefix=f"scaling_vault_{cpus}_")
+        vault = TranscriptVault(spark, root, num_buckets=64)
+        t0 = time.perf_counter()
+        MicrobatchRunner(vault).replay(ev)
+        dt = time.perf_counter() - t0
+        shutil.rmtree(root, ignore_errors=True)
         out[f"local[{cpus}]"] = {
             "sec": round(dt, 3),
             "events_per_sec": round(n / dt, 1),
@@ -94,9 +123,7 @@ def run_scaling(sf_dir: str) -> dict:
 
 
 def main():
-    scaling_mode = "--scaling" in sys.argv
-
-    if scaling_mode:
+    if "--scaling" in sys.argv:
         result = run_scaling(SF_DIR)
         print(json.dumps({"metric": "scaling", "sf": SF_DIR, **result}))
         return
@@ -106,20 +133,31 @@ def main():
     spark = _fresh_spark(CPUS, "bench")
     queries = entry.queries()
 
-    # headline: merge-apply throughput
-    merge_sec, n_events = run_merge_apply(spark, SF_DIR)
-
-    per_query = {}
+    # headline: merge-apply throughput; keep the vault for state reads
+    merge_sec, n_events, vault = run_merge_apply(spark, SF_DIR, keep_vault=True)
+    per_query = {"cdc_merge_apply_replay": round(merge_sec, 3)}
     total = merge_sec
-    for name in BENCH_QUERIES:
-        fn = queries[name]
+
+    # state-read queries against the replayed vault
+    for name, df_fn in {
+        "cdc_current_turns_read": lambda: vault.current_turns(),
+        "cdc_scd2_history_read": lambda: vault.sat.read(),
+        "cdc_hub_read": lambda: vault.hub.read(),
+    }.items():
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
+        df_fn().count()
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt
 
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    shutil.rmtree(vault.root, ignore_errors=True)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -127,7 +165,7 @@ def main():
                 "metric": "cdc_merge_apply_plus_queries_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": {"cdc_merge_apply_replay": round(merge_sec, 3), **per_query},
+                "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "merge_apply_events_per_sec": round(n_events / merge_sec, 1),
                 "merge_apply_n_events": n_events,

@@ -706,7 +706,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 _MINHASH_COLS = ",\n    ".join(
-    f"list_min(list_transform(s, x -> sha256(x || ':{i}'))) AS m{i}" for i in range(12)
+    f"list_min(list_transform(hx, h -> substr(h, {1 + 10 * i}, 10))) AS m{i}"
+    for i in range(12)
 )
 _BAND_SELECTS = "\nUNION ALL\n".join(
     f"SELECT doc_id, {b} AS band, concat_ws('|', m{b * 3}, m{b * 3 + 1}, m{b * 3 + 2}) AS key FROM sig"
@@ -715,10 +716,14 @@ _BAND_SELECTS = "\nUNION ALL\n".join(
 
 SQL_DEDUP_MINHASH_LSH = f"""
 WITH {SQL_SHINGLES3},
+hxt AS (
+  SELECT doc_id, s, list_transform(s, x -> sha256(x) || sha256(x || '#')) AS hx
+  FROM sh
+),
 sig AS (
   SELECT doc_id, s,
     {_MINHASH_COLS}
-  FROM sh
+  FROM hxt
 ),
 buckets AS (
   {_BAND_SELECTS}
@@ -929,3 +934,45 @@ ORACLES.update(
         "cdc_snapshot_deletes": SQL_CDC_SNAPSHOT_DELETES,
     }
 )
+
+
+def q_cdc_record_status(spark, sf_dir):
+    """RecordStatusSat analog: currently-deleted keys with the deleting run
+    (dv.py:85-86, etl.py:495-505)."""
+    v = replayed_vault(spark, sf_dir)
+    return v.record_status().select("conv_id", "turn_idx", "deleted_runid")
+
+
+# a key is finally-deleted iff its latest applied (content) batch precedes a
+# later delete candidate; the deleting run is the FIRST D after the last
+# applied batch (later Ds hit an already-closed row and no-op)
+SQL_CDC_RECORD_STATUS = f"""
+WITH {EV_CTE},
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, batch_id ORDER BY seq DESC) AS rn
+  FROM ev
+),
+c1 AS (SELECT * FROM cand WHERE rn = 1),
+chain AS (
+  SELECT *,
+    CASE WHEN op = 'D' THEN NULL ELSE {SQL_CONTENT} END AS content,
+    lag(CASE WHEN op = 'D' THEN NULL ELSE {SQL_CONTENT} END)
+      OVER (PARTITION BY conv_id, turn_idx ORDER BY batch_id) AS prev_content
+  FROM c1
+),
+applied AS (
+  SELECT conv_id, turn_idx, batch_id FROM chain
+  WHERE op <> 'D' AND (content IS DISTINCT FROM prev_content)
+),
+lasta AS (SELECT conv_id, turn_idx, max(batch_id) AS la FROM applied GROUP BY 1, 2),
+firstd AS (
+  SELECT c.conv_id, c.turn_idx, min(c.batch_id) AS deleted_runid
+  FROM c1 c JOIN lasta USING (conv_id, turn_idx)
+  WHERE c.op = 'D' AND c.batch_id > lasta.la
+  GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, deleted_runid FROM firstd
+"""
+
+QUERIES["cdc_record_status"] = q_cdc_record_status
+ORACLES["cdc_record_status"] = SQL_CDC_RECORD_STATUS

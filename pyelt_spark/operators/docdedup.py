@@ -49,8 +49,41 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("_sh"))
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, _s) exploded distinct shingles — the relational form every
+    Jaccard operator works from. The higher-order shingle expression runs
+    exactly once per document; everything downstream is codegen'd
+    relational ops (interpreted HOFs never run per candidate pair)."""
+    return df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("_s"))
+
+
+def _verify_jaccard(
+    cand: DataFrame, sh_rows: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs (a,b) from exploded shingle rows:
+    |A∩B| via a join on shingle equality, sizes via groupBy — no arrays
+    shipped through any join."""
+    sizes = sh_rows.groupBy("_id").agg(F.count("*").alias("_n"))
+    A = sh_rows.select(F.col("_id").alias("a"), F.col("_s"))
+    B = sh_rows.select(F.col("_id").alias("b"), F.col("_s"))
+    common = (
+        cand.join(A, "a").join(B, ["b", "_s"]).groupBy("a", "b").agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("jaccard"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -68,55 +101,36 @@ def ngram_jaccard_pairs(
     otherwise produces a quadratic bucket). Pair Jaccard uses full shingle
     sets, so the cap only bounds candidate GENERATION, not verification.
     """
-    docs = _doc_shingles(df, id_col, text_col, n).persist()
-    sizes = docs.select("_id", F.size("_sh").alias("_n"))
-    inv = docs.select("_id", F.explode("_sh").alias("_s"))
+    sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
     rare = (
-        inv.groupBy("_s")
+        sh_rows.groupBy("_s")
         .agg(F.count("*").alias("_df"), F.collect_list("_id").alias("_ids"))
         .filter(F.col("_df") <= max_docfreq)
     )
-    pairs = (
+    cand = (
         rare.select(F.explode("_ids").alias("a"), F.col("_ids"))
         .select("a", F.explode("_ids").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("_common_rare"))
+        .distinct()
     )
-    # exact verification on full shingle sets
-    sa = sizes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
-    da = docs.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha_"))
-    db = docs.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb_"))
-    out = (
-        pairs.join(da, "a").join(db, "b").join(sa, "a").join(sb, "b")
-        .withColumn("_inter", F.size(F.array_intersect("_sha_", "_shb_")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("jaccard")
-        )
-    )
-    return out
+    return _verify_jaccard(cand, sh_rows, threshold)
 
 
 def minhash_signature(text_col: str | Column, num_perm: int = 12, n: int = 5) -> Column:
-    """MinHash signature: for perm i, min over shingles of
-    sha256(shingle || ':' || i) (lexicographic min over hex — deterministic
-    and reproducible in any engine with sha256)."""
+    """MinHash signature, engine-portable and cheap: each shingle is hashed
+    exactly TWICE (sha256(s) ++ sha256(s||'#') → 128 hex chars); permutation
+    i takes the lexicographic MIN over a 10-hex-char (40-bit) slice at
+    offset 10*i. One hash pass instead of num_perm passes — at 10^9 shingles
+    this is the difference between 2 and num_perm sha evaluations per
+    shingle. num_perm <= 12 with this layout."""
+    assert num_perm <= 12, "10-hex slices of 128 hex chars support <= 12 perms"
     sh = shingles(text_col, n)
+    hx = F.transform(
+        sh, lambda s: F.concat(F.sha2(s, 256), F.sha2(F.concat(s, F.lit("#")), 256))
+    )
     return F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s: F.sha2(F.concat_ws(":", s, F.lit(str(i))), 256))
-            )
+            F.array_min(F.transform(hx, lambda h: F.substring(h, 1 + 10 * i, 10)))
             for i in range(num_perm)
         ]
     )
@@ -133,22 +147,34 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
-    ``num_perm/bands`` rows per band; two docs become candidates iff some
-    band's sub-signature matches exactly. Candidates are then verified with
-    exact Jaccard over full shingle sets — output equals the exact pair set
-    restricted to LSH-recalled candidates.
+    Fully relational dataflow (shingles explode once per doc; everything
+    after is codegen'd joins/aggregates): sha the shingle rows, take the
+    12 per-permutation MINs as map-side-combinable ``min()`` aggregates,
+    bucket by band sub-signature, self-join buckets for candidates, verify
+    with exact Jaccard. Output equals the exact pair set restricted to
+    LSH-recalled candidates.
     """
+    assert num_perm <= 12
     rows_per_band = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, num_perm, n).alias("_sig"),
-        shingles(text_col, n).alias("_sh"),
-    ).persist()
-
+    sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
+    hx = sh_rows.select(
+        "_id",
+        F.concat(
+            F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)
+        ).alias("_hx"),
+    )
+    sig = hx.groupBy("_id").agg(
+        *[
+            F.min(F.substring("_hx", 1 + 10 * i, 10)).alias(f"_m{i}")
+            for i in range(num_perm)
+        ]
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col("_sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("key"),
+            F.concat_ws(
+                "|", *[F.col(f"_m{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
         )
         for b in range(bands)
     ]
@@ -162,19 +188,7 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
         .distinct()
     )
-    da = sig.select(F.col("_id").alias("a"), F.col("_sh").alias("_sha_"))
-    db = sig.select(F.col("_id").alias("b"), F.col("_sh").alias("_shb_"))
-    return (
-        cand.join(da, "a").join(db, "b")
-        .withColumn("_inter", F.size(F.array_intersect("_sha_", "_shb_")))
-        .withColumn("_union", F.size("_sha_") + F.size("_shb_") - F.col("_inter"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("_inter").cast("double") / F.col("_union").cast("double"), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "jaccard")
-    )
+    return _verify_jaccard(cand, sh_rows, threshold)
 
 
 @pandas_udf(T.LongType())

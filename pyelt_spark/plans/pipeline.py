@@ -137,6 +137,23 @@ class TranscriptVault:
             "left",
         ).orderBy("turn_idx")
 
+    def record_status(self) -> DataFrame:
+        """RecordStatusSat analog (dv.py:85-86, etl.py:495-505): one row per
+        currently-deleted key with the run that deleted it — the head's
+        tombstones, no extra table needed."""
+        s = self.sat_merge.sys
+        return (
+            self.sat.head.read()
+            .filter(~F.col(s.active) & F.col(s.deleted_runid).isNotNull())
+            .select(
+                "conv_id",
+                "turn_idx",
+                F.col(s.deleted_runid).alias("deleted_runid"),
+                F.col(s.finish_ts).alias("deleted_ts"),
+                F.col(s.revision).alias("last_revision"),
+            )
+        )
+
     def runs_log(self) -> list[dict]:
         """sys.runs analog: merge metrics of every committed batch."""
         return [c.metrics for c in self.sat.commits() if c.batch_id is not None]

@@ -1,0 +1,133 @@
+"""Differential test: the engine's full replay vs a pure-Python simulator
+of the merge-apply spec, on a seeded adversarial stream (duplicate events,
+out-of-order seq ACROSS batches, deletes, reinserts, no-op updates).
+
+The fixed generator tests golden paths; this one walks the verdict lattice
+(insert/update/noop/bump/delete/reinsert/stale) with random interleavings.
+"""
+
+import datetime as dt
+import random
+
+from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _gen_stream(rng: random.Random, n_events: int, n_keys: int, n_batches: int):
+    """Adversarial stream: seq assigned randomly (so later batches may carry
+    SMALLER seqs → cross-batch stale events), small text space (no-op
+    updates), ~15% deletes, exact-duplicate events."""
+    seqs = list(range(1, n_events * 3, 3))
+    rng.shuffle(seqs)
+    events = []
+    for i in range(n_events):
+        key = rng.randrange(n_keys)
+        op = "D" if rng.random() < 0.15 else "U"
+        text = f"t{rng.randrange(4)}"
+        events.append(
+            {
+                "seq": seqs[i],
+                "conv_id": f"c{key}",
+                "turn_idx": key % 5,
+                "role": "user",
+                "text": text,
+                "tool": None,
+                "op": op,
+                "ts": T0 + dt.timedelta(seconds=seqs[i]),
+                "batch_id": rng.randrange(n_batches),
+            }
+        )
+    # exact duplicates (same payload → tiebreak-neutral)
+    events += [dict(e) for e in rng.sample(events, max(n_events // 10, 1))]
+    return events
+
+
+def _simulate(events):
+    """Reference simulator of the spec (head/hist union)."""
+    head: dict = {}
+    hist: list = []
+    batches = sorted({e["batch_id"] for e in events})
+    for b in batches:
+        batch = [e for e in events if e["batch_id"] == b]
+        # latest-per-key dedup by seq (duplicates are payload-identical)
+        winners: dict = {}
+        for e in batch:
+            k = (e["conv_id"], e["turn_idx"])
+            if k not in winners or e["seq"] > winners[k]["seq"]:
+                winners[k] = e
+        for k, e in winners.items():
+            content = (e["role"], e["text"], e["tool"])
+            row = head.get(k)
+            if row is not None and e["seq"] < row["_seq"]:
+                continue  # stale
+            if e["op"] == "D":
+                if row is not None and row["_active"]:
+                    row.update(
+                        _active=False,
+                        _finish_ts=e["ts"],
+                        _deleted_runid=b,
+                        _seq=e["seq"],
+                    )
+                continue  # delete of dead/unknown key: noop
+            if row is not None and row["_active"] and row["content"] == content:
+                if e["seq"] > row["_seq"]:
+                    row["_seq"] = e["seq"]  # bump
+                continue
+            new = {
+                "conv_id": e["conv_id"], "turn_idx": e["turn_idx"],
+                "content": content, "text": e["text"],
+                "_runid": b, "_active": True, "_insert_ts": e["ts"],
+                "_finish_ts": None, "_deleted_runid": None,
+                "_revision": (row["_revision"] + 1) if row is not None else 0,
+                "_seq": e["seq"],
+            }
+            if row is not None:
+                if row["_active"]:  # update: close and move to hist
+                    row = dict(row)
+                    row.update(_active=False, _finish_ts=e["ts"])
+                hist.append(row)
+            head[k] = new
+    rows = hist + list(head.values())
+    return sorted(
+        (
+            r["conv_id"], r["turn_idx"], r["text"], r["_runid"], r["_revision"],
+            bool(r["_active"]), r["_seq"],
+            r["_deleted_runid"] if r["_deleted_runid"] is not None else -1,
+        )
+        for r in rows
+    )
+
+
+def test_engine_matches_simulator_on_adversarial_stream(spark, tmp_path):
+    rng = random.Random(20240817)
+    events = _gen_stream(rng, n_events=240, n_keys=25, n_batches=4)
+    schema = (
+        "seq long, conv_id string, turn_idx int, role string, text string, "
+        "tool string, op string, ts timestamp, batch_id long"
+    )
+    cols = ["seq", "conv_id", "turn_idx", "role", "text", "tool", "op", "ts", "batch_id"]
+    df = spark.createDataFrame([tuple(e[c] for c in cols) for e in events], schema)
+
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=8)
+    m = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool"],
+        order_by=["seq"],
+    )
+    for b in sorted({e["batch_id"] for e in events}):
+        m.apply_batch(t, df.filter(f"batch_id = {b}"), batch_id=int(b))
+
+    got = sorted(
+        (
+            r["conv_id"], r["turn_idx"], r["text"], r["_runid"], r["_revision"],
+            bool(r["_active"]), r["_seq"],
+            r["_deleted_runid"] if r["_deleted_runid"] is not None else -1,
+        )
+        for r in t.read().collect()
+    )
+    want = _simulate(events)
+    assert got == want, (
+        f"engine={len(got)} rows, sim={len(want)} rows; "
+        f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
+    )
