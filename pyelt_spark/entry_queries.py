@@ -976,3 +976,131 @@ SELECT conv_id, turn_idx, deleted_runid FROM firstd
 
 QUERIES["cdc_record_status"] = q_cdc_record_status
 ORACLES["cdc_record_status"] = SQL_CDC_RECORD_STATUS
+
+
+# --------------------------------------------------------------------------
+# mapping projection (JSON/array/string funcs), set difference, streaming
+# --------------------------------------------------------------------------
+
+
+def q_mapping_projection(spark, sf_dir):
+    """Field-mapping projection parity (mappings/base.py:46-78): JSON
+    construction (json_build_object analog, sor_to_dv_mappings.py:145-150),
+    array literal folded to text (:509-513), string funcs + casts + constant
+    columns used in reference mappings (tests/_mappings.py:45-68)."""
+    ev = derived_events(spark, sf_dir)
+    return ev.select(
+        "seq",
+        F.to_json(
+            F.struct("conv_id", "turn_idx", "role", "tool"),
+            {"ignoreNullFields": "false"},
+        ).alias("payload_json"),
+        F.array_join(F.array(F.col("role"), F.col("op")), ",").alias("tags"),
+        F.upper(F.col("role")).alias("role_upper"),
+        F.substring(F.col("conv_id"), 1, 6).alias("conv_prefix"),
+        F.coalesce(F.col("tool"), F.lit("none")).alias("tool_or_none"),
+        F.lit("pyelt_spark").alias("source_const"),
+        F.col("turn_idx").cast("string").alias("turn_txt"),
+    )
+
+
+SQL_MAPPING_PROJECTION = f"""
+WITH {EV_CTE}
+SELECT seq,
+  to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx, role := role, tool := tool)) AS payload_json,
+  array_to_string([role, op], ',') AS tags,
+  upper(role) AS role_upper,
+  substr(conv_id, 1, 6) AS conv_prefix,
+  coalesce(tool, 'none') AS tool_or_none,
+  'pyelt_spark' AS source_const,
+  CAST(turn_idx AS VARCHAR) AS turn_txt
+FROM ev
+"""
+
+
+def q_cdc_set_difference(spark, sf_dir):
+    """EXCEPT-based change capture (the reference file-load path,
+    etl.py:156-163): batch-0 payload rows not present in batch 1
+    (multiset semantics — exceptAll)."""
+    ev = derived_events(spark, sf_dir)
+    p = ["conv_id", "turn_idx", "role", "text"]
+    b0 = ev.filter(F.col("batch_id") == 0).select(*p)
+    b1 = ev.filter(F.col("batch_id") == 1).select(*p)
+    return b0.exceptAll(b1)
+
+
+SQL_CDC_SET_DIFFERENCE = f"""
+WITH {EV_CTE}
+SELECT conv_id, turn_idx, role, text FROM ev WHERE batch_id = 0
+EXCEPT ALL
+SELECT conv_id, turn_idx, role, text FROM ev WHERE batch_id = 1
+"""
+
+_STREAM_N = {"n": 0}
+
+
+def q_stream_hourly_rollup(spark, sf_dir):
+    """Structured Streaming windowed aggregation with a 1-hour watermark
+    (availableNow): append mode emits only windows the final watermark has
+    closed — the oracle applies the identical cutoff."""
+    src = os.path.join(sf_dir, "events.parquet")
+    # the file stream source lists a DIRECTORY; expose the single parquet
+    # file through a per-sf temp dir (symlink — no copy)
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_src_{abs(hash(sf_dir))}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    # watermarks need TIMESTAMP (ltz); session TZ is UTC so values are equal
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("decimal(38,4)").alias("sum_value"),
+        )
+    )
+    _STREAM_N["n"] += 1
+    name = f"stream_hourly_{_STREAM_N['n']}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "n_events", "sum_value"
+    )
+
+
+SQL_STREAM_HOURLY = """
+WITH m AS (SELECT max(ts) AS mx FROM events)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+FROM events, m
+GROUP BY 1, 2, m.mx
+HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+"""
+
+QUERIES.update(
+    {
+        "mapping_projection": q_mapping_projection,
+        "cdc_set_difference": q_cdc_set_difference,
+        "stream_hourly_rollup": q_stream_hourly_rollup,
+    }
+)
+ORACLES.update(
+    {
+        "mapping_projection": SQL_MAPPING_PROJECTION,
+        "cdc_set_difference": SQL_CDC_SET_DIFFERENCE,
+        "stream_hourly_rollup": SQL_STREAM_HOURLY,
+    }
+)
