@@ -80,12 +80,17 @@ def run_merge_apply(spark, sf_dir: str, keep_vault: bool = False):
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """The identical merge-apply job at two parallelism levels (N=8 and
-    4N=32 cores) on the same input — the sandbox stand-in for N vs 4N
-    executors (BASELINE.md). The input is a deterministically generated
-    change-event stream big enough that compute (hashing, dedup shuffle,
-    merge join, parquet write) dominates driver latency; it is written to
-    parquet ONCE and both runs read the same files."""
+    """The identical merge-apply job at two parallelism levels (N=2 and
+    4N=8 cores) on the same input — the sandbox stand-in for N vs 4N
+    executors (BASELINE.md). N=2→8 rather than 8→32 because all levels
+    share ONE local JVM (one GC, one UnifiedMemoryManager, one disk); at
+    32 threads lock/GC contention — which a real 4N-executor cluster does
+    not have — dominates and the measurement stops isolating parallelism.
+    The input is a deterministically generated change-event stream big
+    enough that compute (hashing, dedup shuffle, merge join, parquet
+    write) dominates driver latency; it is written ONCE and both runs
+    read the same files. State lives on tmpfs so the sandbox's single
+    disk does not serialize the bucket writes."""
     from pyelt_spark.plans.pipeline import TranscriptVault
     from pyelt_spark.sources.events import transcript_change_events
     from pyelt_spark.streaming.runner import MicrobatchRunner
@@ -99,13 +104,15 @@ def run_scaling(sf_dir: str) -> dict:
         ).write.mode("overwrite").parquet(input_dir)
         gen.stop()
 
+    state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     out = {"n_events_requested": n_events, "input": input_dir}
-    for cpus in ("8", "32"):
+    levels = ("2", "8")
+    for cpus in levels:
         spark = _fresh_spark(cpus, f"bench_scaling_{cpus}")
         ev = spark.read.parquet(input_dir)
         n = ev.count()
-        root = tempfile.mkdtemp(prefix=f"scaling_vault_{cpus}_")
-        vault = TranscriptVault(spark, root, num_buckets=64)
+        root = tempfile.mkdtemp(prefix=f"scaling_vault_{cpus}_", dir=state_base)
+        vault = TranscriptVault(spark, root, num_buckets=32)
         t0 = time.perf_counter()
         MicrobatchRunner(vault).replay(ev)
         dt = time.perf_counter() - t0
@@ -116,9 +123,9 @@ def run_scaling(sf_dir: str) -> dict:
             "n_events": n,
         }
         spark.stop()
-    t8 = out["local[8]"]["sec"]
-    t32 = out["local[32]"]["sec"]
-    out["scaling_efficiency"] = round((t8 / t32) / 4, 3)
+    t_n = out[f"local[{levels[0]}]"]["sec"]
+    t_4n = out[f"local[{levels[1]}]"]["sec"]
+    out["scaling_efficiency"] = round((t_n / t_4n) / 4, 3)
     return out
 
 

@@ -137,7 +137,9 @@ class Scd2Merge:
 
     def _with_keys_and_hashdiff(self, df: DataFrame, recipe: HashRecipe) -> DataFrame:
         cur = recipe.current_version
-        df = df.withColumn(self.sys.key, hash_key(*self.business_keys))
+        if self.sys.key not in df.columns:  # don't recompute (and don't break
+            # the aggregate's output partitioning on the key)
+            df = df.withColumn(self.sys.key, hash_key(*self.business_keys))
         df = df.withColumn(self.sys.hashdiff, recipe.hashdiff_for(cur))
         df = df.withColumn(self.sys.hd_version, F.lit(cur))
         # hashdiffs under every older recipe version too, so a batch row can
@@ -174,9 +176,14 @@ class Scd2Merge:
         payload = recipe.current_cols
         s = self.sys
 
-        # 1. latest-per-key dedup (map-side aggregate; skew-proof), then
-        #    hash keys / hashdiffs on the winners only
-        batch = latest_per_key(events, self.business_keys, self.order_by)
+        # 1. latest-per-key dedup (map-side aggregate; skew-proof). Grouping
+        #    happens on the SHA-256 hash key itself: the aggregate's output
+        #    is then already hash-partitioned on the join key, so the state
+        #    join below needs NO second exchange of the batch — one shuffle
+        #    total for dedup + merge. (Costs a sha2 per raw event instead of
+        #    per winner; at scale a saved shuffle beats recomputed hashes.)
+        keyed = events.withColumn(s.key, hash_key(*self.business_keys))
+        batch = latest_per_key(keyed, [s.key], self.order_by)
         batch = self._with_keys_and_hashdiff(batch, recipe)
         batch = batch.withColumn(BUCKET_COL, bucket_expr(s.key, table.num_buckets))
         op = (
@@ -399,7 +406,8 @@ class Scd2Merge:
         # 7. commit: history append FIRST (idempotent via its own batch log),
         #    head overwrite SECOND (the authoritative "batch applied" marker);
         #    a crash between the two replays cleanly (hist skips, head redoes)
-        if batch_id not in table.hist.committed_batch_ids():
+        n_closing = metrics_rows.get("update", 0) + metrics_rows.get("reinsert", 0)
+        if n_closing and batch_id not in table.hist.committed_batch_ids():
             # hist rows are the head rows of update/reinsert keys, so their
             # buckets are already known from the verdict aggregation
             hist_buckets = sorted(

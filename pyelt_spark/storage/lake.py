@@ -107,6 +107,10 @@ class LakeTable:
         self.num_buckets = num_buckets
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        # in-process commit-log cache: loaded once, appended on commit.
+        # Single-writer assumption (one driver owns a table), matching the
+        # commit protocol; reopen the table to see another writer's commits.
+        self._commits_cache: list[Commit] | None = None
 
     # ---------------------------------------------------------------- commits
 
@@ -114,12 +118,14 @@ class LakeTable:
         return os.path.join(self.path, "_commits")
 
     def commits(self) -> list[Commit]:
-        out = []
-        for name in sorted(os.listdir(self._commit_dir())):
-            if name.endswith(".json"):
-                with open(os.path.join(self._commit_dir(), name)) as f:
-                    out.append(Commit.from_json(json.load(f)))
-        return out
+        if self._commits_cache is None:
+            out = []
+            for name in sorted(os.listdir(self._commit_dir())):
+                if name.endswith(".json"):
+                    with open(os.path.join(self._commit_dir(), name)) as f:
+                        out.append(Commit.from_json(json.load(f)))
+            self._commits_cache = out
+        return self._commits_cache
 
     def last_commit(self) -> Commit | None:
         cs = self.commits()
@@ -233,6 +239,8 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(commit.to_json(), f)
         os.rename(tmp, os.path.join(self._commit_dir(), f"{version:012d}.json"))
+        if self._commits_cache is not None:
+            self._commits_cache.append(commit)
         return commit
 
     def init_schema(self, schema: T.StructType, recipe: HashRecipe | None = None) -> None:
