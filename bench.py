@@ -104,32 +104,54 @@ def run_scaling(sf_dir: str) -> dict:
         ).write.mode("overwrite").parquet(input_dir)
         gen.stop()
 
-    state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     out = {"n_events_requested": n_events, "input": input_dir}
-    levels = ("2", "8")
-    for cpus in levels:
-        spark = _fresh_spark(cpus, f"bench_scaling_{cpus}")
-        ev = spark.read.parquet(input_dir)
-        n = ev.count()
-        root = tempfile.mkdtemp(prefix=f"scaling_vault_{cpus}_", dir=state_base)
-        vault = TranscriptVault(spark, root, num_buckets=32)
-        t0 = time.perf_counter()
-        MicrobatchRunner(vault).replay(ev)
-        dt = time.perf_counter() - t0
-        shutil.rmtree(root, ignore_errors=True)
-        out[f"local[{cpus}]"] = {
-            "sec": round(dt, 3),
-            "events_per_sec": round(n / dt, 1),
-            "n_events": n,
-        }
-        spark.stop()
-    t_n = out[f"local[{levels[0]}]"]["sec"]
-    t_4n = out[f"local[{levels[1]}]"]["sec"]
+    levels = (("2", "0-1"), ("8", "0-7"))
+    for cpus, cpuset in levels:
+        # each level runs in its own PINNED process: a level gets exactly
+        # its core budget for EVERYTHING (tasks, GC, IO threads) — the
+        # faithful analog of an executor's container cpu limit. Without
+        # pinning, local[N] quietly consumes >N cores of GC/IO and the
+        # comparison stops measuring parallelism.
+        import subprocess
+
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--scaling-worker", cpus, input_dir,
+        ]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", cpuset] + cmd
+        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="16g", PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        res = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        out[f"local[{cpus}]"] = json.loads(line)
+    t_n = out[f"local[{levels[0][0]}]"]["sec"]
+    t_4n = out[f"local[{levels[1][0]}]"]["sec"]
     out["scaling_efficiency"] = round((t_n / t_4n) / 4, 3)
     return out
 
 
+def run_scaling_worker(cpus: str, input_dir: str) -> None:
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    spark = _fresh_spark(cpus, f"bench_scaling_{cpus}")
+    ev = spark.read.parquet(input_dir)
+    n = ev.count()
+    root = tempfile.mkdtemp(prefix=f"scaling_vault_{cpus}_", dir=state_base)
+    vault = TranscriptVault(spark, root, num_buckets=32)
+    t0 = time.perf_counter()
+    MicrobatchRunner(vault).replay(ev)
+    dt = time.perf_counter() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"sec": round(dt, 3), "events_per_sec": round(n / dt, 1), "n_events": n}))
+    spark.stop()
+
+
 def main():
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        run_scaling_worker(sys.argv[i + 1], sys.argv[i + 2])
+        return
     if "--scaling" in sys.argv:
         result = run_scaling(SF_DIR)
         print(json.dumps({"metric": "scaling", "sf": SF_DIR, **result}))

@@ -32,10 +32,13 @@ from pyspark.sql import functions as F
 
 
 
-def _tiebreak(df: DataFrame, order_by: list[str]) -> Column:
+def _tiebreak(df: DataFrame, order_by: list[str], tiebreak_cols: list[str] | None) -> Column:
     # xxhash64 (not sha) — this runs on EVERY input row pre-dedup, and only
-    # has to order duplicate (key, seq) forks deterministically
-    payload = [c for c in df.columns if c not in order_by]
+    # has to order duplicate (key, seq) forks deterministically. The column
+    # set is canonical (sorted, order_by excluded) so the winner does not
+    # depend on engine-added columns; callers that enrich the frame first
+    # pass the ORIGINAL column list via tiebreak_cols.
+    payload = tiebreak_cols or [c for c in df.columns if c not in order_by]
     return F.xxhash64(*[F.col(c) for c in sorted(payload)])
 
 
@@ -44,6 +47,7 @@ def latest_per_key(
     keys: list[str],
     order_by: list[str],
     deterministic: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per ``keys``, the maximal ``order_by`` tuple winning.
 
@@ -53,7 +57,7 @@ def latest_per_key(
     """
     ord_cols = [F.col(c) for c in order_by]
     if deterministic:
-        ord_cols.append(_tiebreak(df, order_by))
+        ord_cols.append(_tiebreak(df, order_by, tiebreak_cols))
     winner = F.max_by(F.struct(*[F.col(c) for c in df.columns]), F.struct(*ord_cols))
     out = df.groupBy(*[F.col(k) for k in keys]).agg(winner.alias("_w"))
     return out.select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
@@ -64,12 +68,13 @@ def latest_per_key_window(
     keys: list[str],
     order_by: list[str],
     deterministic: bool = True,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Window-based variant (row_number == 1). Correct but skew-prone —
     kept as a semantic cross-check for tests, not the production path."""
     ord_exprs = [F.col(c).desc() for c in order_by]
     if deterministic:
-        ord_exprs.append(_tiebreak(df, order_by).desc())
+        ord_exprs.append(_tiebreak(df, order_by, tiebreak_cols).desc())
     w = Window.partitionBy(*keys).orderBy(*ord_exprs)
     return (
         df.withColumn("_rn", F.row_number().over(w))

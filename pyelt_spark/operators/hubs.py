@@ -49,14 +49,21 @@ class HubMerge:
     ) -> dict[str, Any]:
         if batch_id in table.committed_batch_ids():
             return {"skipped_duplicate_batch": batch_id}
+        # group on the hash key itself: the aggregate's output partitioning
+        # feeds the anti-join below with no second exchange (business-key
+        # columns ride along as min() over equal values)
         keys = (
             batch.filter(
                 F.coalesce(*[F.col(c).cast("string") for c in self.business_keys]).isNotNull()
             )
-            .groupBy(*self.business_keys)
-            .agg(F.min(F.col(self.ts_col).cast("timestamp")).alias("_first_ts"))
+            .withColumn(self.key_col, hash_key(*self.business_keys))
+            .groupBy(self.key_col)
+            .agg(
+                F.min(F.col(self.ts_col).cast("timestamp")).alias("_first_ts"),
+                *[F.min(c).alias(c) for c in self.business_keys],
+            )
             .select(
-                hash_key(*self.business_keys).alias(self.key_col),
+                F.col(self.key_col),
                 F.lit(self.hub_type).alias("type"),
                 business_key(*self.business_keys).alias("bk"),
                 *[F.col(c) for c in self.business_keys],

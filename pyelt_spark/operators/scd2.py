@@ -183,7 +183,15 @@ class Scd2Merge:
         #    total for dedup + merge. (Costs a sha2 per raw event instead of
         #    per winner; at scale a saved shuffle beats recomputed hashes.)
         keyed = events.withColumn(s.key, hash_key(*self.business_keys))
-        batch = latest_per_key(keyed, [s.key], self.order_by)
+        batch = latest_per_key(
+            keyed,
+            [s.key],
+            self.order_by,
+            # tiebreak over the ORIGINAL event columns so fork winners match
+            # any dedup of the raw stream (the engine-added _key must not
+            # influence which duplicate survives)
+            tiebreak_cols=[c for c in events.columns if c not in self.order_by],
+        )
         batch = self._with_keys_and_hashdiff(batch, recipe)
         batch = batch.withColumn(BUCKET_COL, bucket_expr(s.key, table.num_buckets))
         op = (
