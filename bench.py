@@ -67,7 +67,8 @@ def run_merge_apply(spark, sf_dir: str, keep_vault: bool = False):
     ev = ev.withColumn(
         "batch_id", F.floor(F.col("seq") / F.lit(max(n // 8, 1))).cast("long")
     ).persist()
-    root = tempfile.mkdtemp(prefix="bench_vault_")
+    state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    root = tempfile.mkdtemp(prefix="bench_vault_", dir=state_base)
     vault = TranscriptVault(spark, root, num_buckets=max(int(CPUS), 8))
     t0 = time.perf_counter()
     MicrobatchRunner(vault).replay(ev)
