@@ -1104,3 +1104,121 @@ ORACLES.update(
         "stream_hourly_rollup": SQL_STREAM_HOURLY,
     }
 )
+
+
+# --------------------------------------------------------------------------
+# relational coverage round 2: semi/anti joins, distinct + conditional aggs
+# --------------------------------------------------------------------------
+
+
+def q_orders_with_returns(spark, sf_dir):
+    """Semi join (EXISTS): order priorities of orders having at least one
+    returned lineitem (q4 shape)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDERS_WITH_RETURNS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): customers with no orders, per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_supplier_diversity(spark, sf_dir):
+    """COUNT(DISTINCT) per group (q16 shape): distinct suppliers and parts
+    shipped per return flag."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_SUPPLIER_DIVERSITY = """
+SELECT l_returnflag,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_promo_revenue_share(spark, sf_dir):
+    """Conditional aggregation over a join (q14 shape): revenue share of
+    parts whose type starts with a given prefix, by line status."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    is_promo = F.col("p_type").startswith("STANDARD")
+    return (
+        joined.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_promo, rev).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,8)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(38,8)").alias("total_revenue"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
+    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+QUERIES.update(
+    {
+        "q4_orders_with_returns": q_orders_with_returns,
+        "customers_without_orders": q_customers_without_orders,
+        "q16_supplier_diversity": q_supplier_diversity,
+        "q14_promo_revenue_share": q_promo_revenue_share,
+    }
+)
+ORACLES.update(
+    {
+        "q4_orders_with_returns": SQL_ORDERS_WITH_RETURNS,
+        "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "q16_supplier_diversity": SQL_SUPPLIER_DIVERSITY,
+        "q14_promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
+    }
+)
