@@ -97,7 +97,19 @@ class TranscriptVault:
                 upserts.filter(F.col("tool").isNotNull()),
                 batch_id,
             )
-            return {"hub": f_hub.result(), "sat": f_sat.result(), "link": f_link.result()}
+            out = {"hub": f_hub.result(), "sat": f_sat.result(), "link": f_link.result()}
+        self.maintain()
+        return out
+
+    def maintain(self, max_dirs_per_bucket: int = 16) -> None:
+        """Small-file maintenance: append-mode tables (hub/link, sat history)
+        gain one dir per touched bucket per batch; compact any bucket whose
+        manifest references more than ``max_dirs_per_bucket`` dirs. Manifest
+        inspection is in-memory — zero cost when nothing is fragmented."""
+        for t in (self.hub, self.link, self.sat.hist):
+            last = t.last_commit()
+            if last and any(len(d) > max_dirs_per_bucket for d in last.buckets.values()):
+                t.compact(max_versions_per_bucket=max_dirs_per_bucket)
 
     def replay(self, events: DataFrame, batch_col: str = "batch_id") -> list[dict]:
         """Replay a full change stream batch-by-batch in batch order."""

@@ -61,3 +61,19 @@ def test_compact_and_vacuum(spark, tmp_path):
     data_dirs = os.listdir(tmp_path / "t" / "data")
     live = {d.split(os.sep)[1] for ds in t.last_commit().buckets.values() for d in ds}
     assert set(data_dirs) >= live
+
+
+def test_vault_maintain_compacts_append_tables(spark, tmp_path):
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.sources.events import transcript_change_events
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    ev = transcript_change_events(spark, 2000, batch_size=500, seed=13)
+    vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
+    MicrobatchRunner(vault).replay(ev)
+    before = vault.hub.read().count()
+    # hub appended one dir per touched bucket per batch — force-compact
+    assert any(len(d) > 1 for d in vault.hub.last_commit().buckets.values())
+    vault.maintain(max_dirs_per_bucket=1)
+    assert all(len(d) == 1 for d in vault.hub.last_commit().buckets.values())
+    assert vault.hub.read().count() == before  # contents unchanged
