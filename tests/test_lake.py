@@ -68,7 +68,9 @@ def test_vault_maintain_compacts_append_tables(spark, tmp_path):
     from pyelt_spark.sources.events import transcript_change_events
     from pyelt_spark.streaming.runner import MicrobatchRunner
 
-    ev = transcript_change_events(spark, 2000, batch_size=500, seed=13)
+    # many conversations relative to events → every batch registers NEW hub
+    # keys, so the append-mode hub gains a dir per touched bucket per batch
+    ev = transcript_change_events(spark, 2000, batch_size=500, seed=13, n_convs=1500)
     vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
     MicrobatchRunner(vault).replay(ev)
     before = vault.hub.read().count()
