@@ -89,3 +89,36 @@ def ensemble_view(base: DataFrame, joins: list[tuple[DataFrame, list[str] | F.Co
     for frame, on, how in joins:
         out = out.join(frame, on, how)
     return out
+
+
+def ensemble_from_graph(
+    entities: dict[str, DataFrame],
+    links: list[tuple[str, str, list[str]]],
+    start: str,
+) -> DataFrame:
+    """BFS join-chain builder over a declared entity graph — the reference's
+    ensemble construction (pyelt/helpers/query_maker.py:157-208): starting
+    from ``start``, walk the declared links breadth-first and LEFT JOIN each
+    newly reached entity on its link columns. Unreachable entities are
+    ignored (as in the reference, which only emits joins it can path to).
+
+    ``links``: (entity_a, entity_b, join_cols) — undirected edges.
+    """
+    from collections import deque
+
+    out = entities[start]
+    visited = {start}
+    queue = deque([start])
+    adj: dict[str, list[tuple[str, list[str]]]] = {}
+    for a, b, cols in links:
+        adj.setdefault(a, []).append((b, cols))
+        adj.setdefault(b, []).append((a, cols))
+    while queue:
+        cur = queue.popleft()
+        for nxt, cols in adj.get(cur, []):
+            if nxt in visited:
+                continue
+            visited.add(nxt)
+            queue.append(nxt)
+            out = out.join(entities[nxt], cols, "left")
+    return out

