@@ -1222,3 +1222,67 @@ ORACLES.update(
         "q14_promo_revenue_share": SQL_PROMO_REVENUE_SHARE,
     }
 )
+
+
+def q_corpus_clean_pipeline(spark, sf_dir):
+    """A composed training-data cleaning pipeline as one declarative plan:
+    quality gate → language filter → exact-dedup (keep canonical doc) →
+    token statistics. Catalyst fuses the whole chain; the dedup is the only
+    shuffle."""
+    from pyspark.sql import Window
+
+    from pyelt_spark.functions.text import fingerprint, langid, quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        quality_score("text").alias("quality"),
+        langid("text").alias("lang_guess"),
+        fingerprint("text").alias("fp"),
+        token_count("text").alias("n_tokens"),
+    ).filter((F.col("quality") >= 0.4) & (F.col("lang_guess") == "en"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+    CAST(len(list_filter(string_split({SQL_NORM}, ' '), x -> list_contains({_EN}, x))) AS DOUBLE) AS en,
+    CAST(len(list_filter(string_split({SQL_NORM}, ' '), x -> list_contains({_DE}, x))) AS DOUBLE) AS de,
+    CAST(len(list_filter(string_split({SQL_NORM}, ' '), x -> list_contains({_FR}, x))) AS DOUBLE) AS fr,
+    CAST(len(list_filter(string_split({SQL_NORM}, ' '), x -> list_contains({_ES}, x))) AS DOUBLE) AS es,
+    sha256({SQL_NORM}) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp,
+    CAST(n_tok AS BIGINT) AS n_tokens,
+    round((
+      least(n_tok / 100.0, 1.0)
+      + (1.0 - least(n_punct / greatest(CAST(len(text) AS DOUBLE), 1.0) * 5, 1.0))
+      + least(en / greatest(n_tok, 1.0) * 4, 1.0)
+    ) / 3, 6) AS quality,
+    CASE
+      WHEN en > 0 AND en = greatest(en, de, fr, es) THEN 'en'
+      WHEN de > 0 AND de = greatest(en, de, fr, es) THEN 'de'
+      WHEN fr > 0 AND fr = greatest(en, de, fr, es) THEN 'fr'
+      WHEN es > 0 AND es = greatest(en, de, fr, es) THEN 'es'
+      ELSE 'und' END AS lang_guess
+  FROM t
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.4 AND lang_guess = 'en')
+SELECT doc_id, n_tokens, quality FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+) WHERE rn = 1
+"""
+
+QUERIES["corpus_clean_pipeline"] = q_corpus_clean_pipeline
+ORACLES["corpus_clean_pipeline"] = SQL_CORPUS_CLEAN
