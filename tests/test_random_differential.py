@@ -131,3 +131,111 @@ def test_engine_matches_simulator_on_adversarial_stream(spark, tmp_path):
         f"engine={len(got)} rows, sim={len(want)} rows; "
         f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
     )
+
+
+def _simulate_evolved(events, evolve_from_batch):
+    """Simulator with an additive `meta` column arriving at batch E:
+    state rows carry their recipe version; a v1 row is unchanged only if
+    the old-recipe content matches AND the new column is null."""
+    head, hist = {}, []
+    for b in sorted({e["batch_id"] for e in events}):
+        batch = [e for e in events if e["batch_id"] == b]
+        evolved = b >= evolve_from_batch
+        winners = {}
+        for e in batch:
+            k = (e["conv_id"], e["turn_idx"])
+            if k not in winners or e["seq"] > winners[k]["seq"]:
+                winners[k] = e
+        for k, e in winners.items():
+            c3 = (e["role"], e["text"], e["tool"])
+            meta = e.get("meta") if evolved else None
+            row = head.get(k)
+            if row is not None and e["seq"] < row["_seq"]:
+                continue
+            if e["op"] == "D":
+                if row is not None and row["_active"]:
+                    row.update(_active=False, _deleted_runid=b, _seq=e["seq"])
+                continue
+            if row is not None and row["_active"]:
+                if row["rv"] == 1:
+                    unchanged = row["c3"] == c3 and meta is None
+                else:
+                    unchanged = row["c3"] == c3 and row["meta"] == meta
+                if unchanged:
+                    if e["seq"] > row["_seq"]:
+                        row["_seq"] = e["seq"]
+                    continue
+            new = {
+                "conv_id": e["conv_id"], "turn_idx": e["turn_idx"],
+                "c3": c3, "meta": meta, "text": e["text"],
+                "rv": 2 if evolved else 1,
+                "_runid": b, "_active": True,
+                "_deleted_runid": None,
+                "_revision": (row["_revision"] + 1) if row is not None else 0,
+                "_seq": e["seq"],
+            }
+            if row is not None:
+                hist.append(dict(row, _active=False) if row["_active"] else dict(row))
+            head[k] = new
+    rows = hist + list(head.values())
+    return sorted(
+        (
+            r["conv_id"], r["turn_idx"], r["text"], r["meta"], r["_runid"],
+            r["_revision"], bool(r["_active"]), r["_seq"],
+            r["_deleted_runid"] if r["_deleted_runid"] is not None else -1,
+        )
+        for r in rows
+    )
+
+
+def test_engine_matches_simulator_under_schema_evolution(spark, tmp_path):
+    rng = random.Random(99)
+    EVOLVE_AT = 2
+    events = _gen_stream(rng, n_events=200, n_keys=20, n_batches=4)
+    for e in events:
+        # meta exists only from batch 2 on; sparse (None-heavy) to exercise
+        # the no-new-info rule against v1 state rows
+        e["meta"] = (
+            f"m{rng.randrange(3)}" if e["batch_id"] >= EVOLVE_AT and rng.random() < 0.4
+            else None
+        )
+
+    cols3 = ["seq", "conv_id", "turn_idx", "role", "text", "tool", "op", "ts", "batch_id"]
+    cols4 = cols3 + ["meta"]
+    s3 = (
+        "seq long, conv_id string, turn_idx int, role string, text string, "
+        "tool string, op string, ts timestamp, batch_id long"
+    )
+    s4 = s3 + ", meta string"
+
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=8)
+    m1 = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool"], order_by=["seq"],
+    )
+    m2 = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool", "meta"], order_by=["seq"],
+    )
+    for b in sorted({e["batch_id"] for e in events}):
+        rows = [e for e in events if e["batch_id"] == b]
+        if b < EVOLVE_AT:
+            df = spark.createDataFrame([tuple(e[c] for c in cols3) for e in rows], s3)
+            m1.apply_batch(t, df, int(b))
+        else:
+            df = spark.createDataFrame([tuple(e[c] for c in cols4) for e in rows], s4)
+            m2.apply_batch(t, df, int(b))
+
+    got = sorted(
+        (
+            r["conv_id"], r["turn_idx"], r["text"], r["meta"], r["_runid"],
+            r["_revision"], bool(r["_active"]), r["_seq"],
+            r["_deleted_runid"] if r["_deleted_runid"] is not None else -1,
+        )
+        for r in t.read().collect()
+    )
+    want = _simulate_evolved(events, EVOLVE_AT)
+    assert got == want, (
+        f"engine={len(got)} sim={len(want)}; "
+        f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
+    )
