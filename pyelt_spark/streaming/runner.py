@@ -42,8 +42,18 @@ class MicrobatchRunner:
         on_batch: Callable[[int, dict], None] | None = None,
     ) -> list[dict[str, Any]]:
         """Apply all batches in ``batch_col`` order, skipping batch ids the
-        vault has already committed (crash-resume / exactly-once)."""
-        done = self.vault.sat.committed_batch_ids()
+        vault has already committed (crash-resume / exactly-once).
+
+        A batch counts as done only when EVERY table's commit log has it —
+        the hub/sat/link merges run concurrently, so a crash can land with
+        some tables committed and others not; each merge is individually
+        idempotent, so re-applying such a torn batch completes exactly the
+        missing tables."""
+        done = (
+            self.vault.sat.committed_batch_ids()
+            & self.vault.hub.committed_batch_ids()
+            & self.vault.link.committed_batch_ids()
+        )
         batch_ids = [
             r[0]
             for r in events.select(batch_col).distinct().orderBy(batch_col).collect()

@@ -72,3 +72,49 @@ def test_crash_between_hist_and_head_commit(spark, tmp_path):
     # and a further re-apply is a pure no-op (both logs have batch 2)
     met = _merge().apply_batch(t2, b2, 2)
     assert met == {"skipped_duplicate_batch": 2}
+
+
+def test_vault_crash_with_partial_table_commits(spark, tmp_path):
+    """The hub/sat/link merges run concurrently; a crash can leave SOME
+    tables committed for a batch and others not. Resume must re-apply the
+    batch (each merge is individually idempotent) — a batch is 'done' only
+    when every table's log has it."""
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.sources.events import transcript_change_events
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    ev = transcript_change_events(spark, 1200, batch_size=400, seed=31).persist()
+    vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
+    runner = MicrobatchRunner(vault)
+    runner.replay(ev.filter("batch_id = 0"))
+
+    # crash during batch 1: link merge dies AFTER hub+sat committed
+    orig = vault.link_merge.apply_batch
+    def boom(*a, **k):
+        raise RuntimeError("injected link crash")
+    vault.link_merge.apply_batch = boom
+    with pytest.raises(Exception):
+        vault.apply_batch(ev.filter("batch_id = 1"), 1)
+    vault.link_merge.apply_batch = orig
+    assert 1 in vault.sat.committed_batch_ids()
+    assert 1 not in vault.link.committed_batch_ids()
+
+    # resume over the full stream: batch 1 re-applies (completing the
+    # link), batch 2 applies fresh; nothing double-applies
+    vault2 = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
+    out = MicrobatchRunner(vault2).replay(ev)
+    assert out[0].get("skipped_duplicate_batch") == 0
+    assert out[1]["sat"] == {"skipped_duplicate_batch": 1}   # sat already has it
+    assert "new_keys" in out[1]["link"]                       # link completed now
+
+    # end state identical to a clean replay
+    clean = TranscriptVault(spark, str(tmp_path / "clean"), num_buckets=4)
+    MicrobatchRunner(clean).replay(ev)
+    for tbl in ("hub", "link"):
+        a = getattr(vault2, tbl).read()
+        b = getattr(clean, tbl).read()
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    a = vault2.sat.read().drop("_bucket")
+    b = clean.sat.read().drop("_bucket")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    ev.unpersist()
