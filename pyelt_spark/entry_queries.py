@@ -1286,3 +1286,54 @@ SELECT doc_id, n_tokens, quality FROM (
 
 QUERIES["corpus_clean_pipeline"] = q_corpus_clean_pipeline
 ORACLES["corpus_clean_pipeline"] = SQL_CORPUS_CLEAN
+
+
+def q_datamart_fact_turn_versions(spark, sf_dir):
+    """Datamart fact over the replayed vault: version counts per
+    (conversation, run) — the DM layer analog (dm.py:1-110)."""
+    from pyelt_spark.plans.datamart import fact_turn_versions
+
+    v = replayed_vault(spark, sf_dir)
+    return fact_turn_versions(v)
+
+
+SQL_DATAMART_FACT = f"""
+WITH {EV_CTE},
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, batch_id ORDER BY seq DESC) AS rn
+  FROM ev
+),
+c1 AS (SELECT * FROM cand WHERE rn = 1),
+chain AS (
+  SELECT *,
+    CASE WHEN op = 'D' THEN NULL ELSE {SQL_CONTENT} END AS content,
+    lag(CASE WHEN op = 'D' THEN NULL ELSE {SQL_CONTENT} END)
+      OVER (PARTITION BY conv_id, turn_idx ORDER BY batch_id) AS prev_content
+  FROM c1
+),
+applied AS (
+  SELECT conv_id, turn_idx, batch_id FROM chain
+  WHERE op <> 'D' AND (content IS DISTINCT FROM prev_content)
+),
+versions AS (
+  SELECT conv_id, turn_idx, batch_id,
+    lead(batch_id) OVER (PARTITION BY conv_id, turn_idx ORDER BY batch_id) AS nxt
+  FROM applied
+)
+-- a version is delete-closed iff a tombstone lands strictly between it and
+-- the next applied version (the engine sets _deleted_runid on exactly that
+-- row; later deletes on an already-dead key no-op)
+SELECT sha256(v.conv_id) AS conversation_key, v.batch_id AS run_id,
+  count(*) AS n_versions,
+  sum(CASE WHEN EXISTS (
+        SELECT 1 FROM c1 d
+        WHERE d.conv_id = v.conv_id AND d.turn_idx = v.turn_idx
+          AND d.op = 'D' AND d.batch_id > v.batch_id
+          AND (v.nxt IS NULL OR d.batch_id < v.nxt)
+      ) THEN 1 ELSE 0 END) AS n_deleted
+FROM versions v
+GROUP BY 1, 2
+"""
+
+QUERIES["datamart_fact_turn_versions"] = q_datamart_fact_turn_versions
+ORACLES["datamart_fact_turn_versions"] = SQL_DATAMART_FACT

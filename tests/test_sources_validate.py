@@ -188,3 +188,79 @@ def test_ensemble_from_graph_bfs(spark):
     rows = {r["pid"]: r for r in out.collect()}
     assert rows["p1"]["hid"] == "h1" and rows["p2"]["tid"] is None
     assert "unrelated" not in out.columns  # unreachable entity ignored
+
+
+def test_model_validation(spark):
+    from pyspark.sql import types as T
+
+    from pyelt_spark.operators.scd2 import Scd2Merge
+    from pyelt_spark.plans.validations import ModelValidationError, validate_merge_model
+
+    import pytest
+
+    schema = T.StructType.fromDDL(
+        "seq long, conv_id string, turn_idx int, role string, text string, "
+        "tool string, op string, ts timestamp"
+    )
+    good = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool"], order_by=["seq"],
+    )
+    assert validate_merge_model(good, schema) == []
+
+    bad = Scd2Merge(business_keys=["nope"], payload_cols=["text"], order_by=["seq"])
+    with pytest.raises(ModelValidationError, match="nope"):
+        validate_merge_model(bad, schema)
+
+    overlap = Scd2Merge(
+        business_keys=["conv_id"], payload_cols=["conv_id", "text"], order_by=["seq"]
+    )
+    with pytest.raises(ModelValidationError, match="both key and payload"):
+        validate_merge_model(overlap, schema)
+
+    str_seq = Scd2Merge(business_keys=["conv_id"], payload_cols=["text"], order_by=["role"])
+    with pytest.raises(ModelValidationError, match="integral sequence"):
+        validate_merge_model(str_seq, schema)
+
+    missing_payload = Scd2Merge(
+        business_keys=["conv_id"], payload_cols=["text", "later_col"], order_by=["seq"]
+    )
+    warns = validate_merge_model(missing_payload, schema)
+    assert any("later_col" in w for w in warns)
+
+
+def test_arrow_hash_twin_bit_identical(spark):
+    from pyelt_spark.functions.hashing import hash_key, hash_key_arrow
+
+    df = spark.createDataFrame(
+        [("c1", 3), ("c2", None), (None, 7)], "conv_id string, turn_idx int"
+    )
+    out = df.select(
+        hash_key("conv_id", "turn_idx").alias("jvm"),
+        hash_key_arrow("conv_id", "turn_idx").alias("arrow"),
+    ).collect()
+    assert all(r["jvm"] == r["arrow"] for r in out)
+
+
+def test_datamart_star_schema(spark, tmp_path):
+    from pyelt_spark.plans.datamart import dim_conversation, fact_turn_versions
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.sources.events import transcript_change_events
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    ev = transcript_change_events(spark, 1500, batch_size=500, seed=17)
+    vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
+    MicrobatchRunner(vault).replay(ev)
+
+    dim = dim_conversation(vault)
+    fact = fact_turn_versions(vault)
+    assert dim.count() == vault.hub.read().count()
+    # every fact row joins a dimension row (referential integrity)
+    orphans = fact.join(
+        dim.select("conversation_key"), "conversation_key", "left_anti"
+    )
+    assert orphans.count() == 0
+    # version counts reconcile with the satellite history
+    assert (
+        fact.agg({"n_versions": "sum"}).first()[0] == vault.sat.read().count()
+    )
