@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyelt_spark.functions.hashing import NULL_TOKEN, SEP, hash_key, hashdiff
+from pyelt_spark.functions.hashing import hashdiff
 from pyelt_spark.operators.dedup import latest_per_key
 from pyelt_spark.plans.pipeline import TranscriptVault
 from pyelt_spark.streaming.runner import MicrobatchRunner

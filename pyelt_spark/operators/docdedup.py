@@ -21,9 +21,10 @@ Four families, each chosen for a different scale/accuracy point:
                              column; random-hyperplane LSH bucketing with
                              exact cosine verification.
 
-MinHash uses lexicographic MIN over SHA-256 hex digests of ``shingle:perm``
-— deterministic, engine-portable (the DuckDB oracle computes the identical
-signature), and free of any Python-side RNG.
+MinHash permutations are lexicographic MINs over fixed hex slices of
+``sha256(s) ++ sha256(s||'#')`` — deterministic, engine-portable (the
+DuckDB oracle computes the identical signature), free of any Python-side
+RNG, and costing exactly two hashes per shingle regardless of num_perm.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from pyelt_spark.functions.text import fingerprint, normalized, shingles
+from pyelt_spark.functions.text import fingerprint, shingles
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
