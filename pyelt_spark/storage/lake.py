@@ -148,11 +148,22 @@ class LakeTable:
             return None
         return T.StructType.fromJson(last.schema)
 
+    def read_version(self, version: int, buckets: list[int] | None = None) -> DataFrame:
+        """Time travel: read the table as of commit ``version`` (snapshot
+        isolation — every commit is immutable). Versions whose data dirs
+        were removed by ``vacuum`` are no longer readable."""
+        for c in self.commits():
+            if c.version == version:
+                return self._read_commit(c, buckets)
+        raise ValueError(f"no commit version {version} at {self.path}")
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
         """Read current state; ``buckets`` prunes to the listed buckets only
         (file-level pruning — unlisted buckets are never opened)."""
-        last = self.last_commit()
-        schema = self._schema()
+        return self._read_commit(self.last_commit(), buckets)
+
+    def _read_commit(self, last: Commit | None, buckets: list[int] | None = None) -> DataFrame:
+        schema = T.StructType.fromJson(last.schema) if last else None
         if last is None or not last.buckets:
             if schema is None:
                 raise ValueError(f"empty table with no schema at {self.path}")

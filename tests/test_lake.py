@@ -79,3 +79,21 @@ def test_vault_maintain_compacts_append_tables(spark, tmp_path):
     vault.maintain(max_dirs_per_bucket=1)
     assert all(len(d) == 1 for d in vault.hub.last_commit().buckets.values())
     assert vault.hub.read().count() == before  # contents unchanged
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    import pytest
+
+    t = LakeTable(spark, str(tmp_path / "tt"), num_buckets=4)
+    d1 = _df(spark, range(10))
+    b1 = [r[0] for r in d1.select(BUCKET_COL).distinct().collect()]
+    t.commit(d1, b1, batch_id=1)
+    d2 = _df(spark, range(10, 15))
+    b2 = [r[0] for r in d2.select(BUCKET_COL).distinct().collect()]
+    t.commit(d2, b2, batch_id=2, mode="append")
+
+    assert t.read().count() == 15
+    assert t.read_version(1).count() == 10          # snapshot isolation
+    assert t.read_version(2).count() == 15
+    with pytest.raises(ValueError, match="no commit version"):
+        t.read_version(99)
