@@ -91,7 +91,10 @@ class MicrobatchRunner:
         if schema is not None:
             reader = reader.schema(schema)
         else:
-            static = spark.read.parquet(input_dir)
+            # mergeSchema: the directory may mix files from before and after
+            # an additive evolution — the stream schema must be the union
+            # (a single arbitrary footer would randomly drop late columns)
+            static = spark.read.option("mergeSchema", "true").parquet(input_dir)
             reader = reader.schema(static.schema)
         stream = reader.option("maxFilesPerTrigger", 64).parquet(input_dir)
 
