@@ -1337,3 +1337,91 @@ GROUP BY 1, 2
 
 QUERIES["datamart_fact_turn_versions"] = q_datamart_fact_turn_versions
 ORACLES["datamart_fact_turn_versions"] = SQL_DATAMART_FACT
+
+
+def q_doc_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex tokenization count (letters / digits / punctuation
+    runs split apart — the pre-tokenizer shape of GPT-style BPE)."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).alias("n_bpe_tokens"),
+    )
+
+
+SQL_DOC_BPE_TOKENS = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """int8 symmetric quantization of the embedding column (the storage
+    shape a 10^9-vector ANN index wants): per-vector max-abs scale,
+    exploded to scalar rows so every engine hashes identically."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    q = F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    out = emb.select(
+        "vec_id", F.round(scale, 6).alias("scale"), F.posexplode(q).alias("dim", "q8")
+    )
+    return out.select("vec_id", "scale", "dim", "q8")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50
+),
+s AS (
+  SELECT vec_id, v,
+    list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  CAST(i - 1 AS INTEGER) AS dim,
+  CAST(round(v[i] * 127.0 / scale) AS INTEGER) AS q8
+FROM s, unnest(range(1, len(v) + 1)) AS t(i)
+"""
+
+QUERIES.update(
+    {
+        "doc_bpe_token_count": q_doc_bpe_token_count,
+        "embedding_quantize": q_embedding_quantize,
+    }
+)
+ORACLES.update(
+    {
+        "doc_bpe_token_count": SQL_DOC_BPE_TOKENS,
+        "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    }
+)
+
+
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash window-minima) fingerprint sets — the
+    position-robust dedup fingerprint (MOSS scheme)."""
+    from pyelt_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
+SQL_DOC_WINNOW = f"""
+WITH n AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+p AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 8 + 1, 1) + 1)) AS pos
+  FROM n
+),
+h AS (SELECT doc_id, pos, substr(sha256(substr(t, CAST(pos AS INTEGER), 8)), 1, 16) AS hh FROM p),
+w AS (
+  SELECT doc_id, min(hh) OVER (
+    PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+  ) AS fp FROM h
+)
+SELECT DISTINCT doc_id, fp FROM w
+"""
+
+QUERIES["doc_winnow_fingerprints"] = q_doc_winnow_fingerprints
+ORACLES["doc_winnow_fingerprints"] = SQL_DOC_WINNOW

@@ -91,3 +91,36 @@ def shingles(col: str | Column, n: int = 5) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+
+
+def winnow_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 8, w: int = 4
+):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every char k-gram of the normalized text, slide a w-window and
+    keep each window's minimum — a position-robust fingerprint SET that
+    survives local edits. Returns distinct (id, fp) rows.
+
+    Relational dataflow: positions explode once, the k-gram hash is one
+    sha per position, the window minimum is a plain frame aggregate."""
+    from pyspark.sql import Window
+
+    norm = normalized(text_col)
+    base = df.select(
+        F.col(id_col),
+        norm.alias("_t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(1)))
+        ).alias("_pos"),
+    )
+    h = base.select(
+        id_col,
+        "_pos",
+        F.substring(F.sha2(F.substring("_t", F.col("_pos"), F.lit(k)), 256), 1, 16).alias("_h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    return (
+        h.withColumn("fp", F.min("_h").over(win))
+        .select(id_col, "fp")
+        .distinct()
+    )
