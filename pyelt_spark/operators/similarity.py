@@ -101,12 +101,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     planes: int = 4,
     round_to: int = 6,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN top-k: probe only the query's hyperplane cell (single-probe IVF).
-
-    Recall < 1.0 by construction; at 10^9 vectors with 2^planes cells this
-    is the path that keeps the candidate set per query ~N/2^planes. Exact
-    cosine + ranking inside the probed cell."""
+    """ANN top-k: probe the query's hyperplane cell (single-probe IVF), or
+    with ``multiprobe`` also every cell at Hamming distance 1 (flip each
+    plane bit) — the classic recall/cost dial: probes × N/2^planes
+    candidates per query instead of a full scan. Exact cosine + ranking
+    inside the probed cells."""
     dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
@@ -114,11 +115,22 @@ def ivf_topk(
     c = c.withColumn("_cn", _norm(F.col("_cv"))).withColumn(
         "_cell", _cell_sig(F.col("_cv"), dim, planes)
     )
-    q = F.broadcast(
+    q = (
         queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("_qv"))
         .withColumn("_qn", _norm(F.col("_qv")))
         .withColumn("_cell", _cell_sig(F.col("_qv"), dim, planes))
     )
+    if multiprobe:
+        flips = [F.col("_cell")] + [
+            F.concat(
+                F.substring("_cell", 1, p),
+                F.when(F.substring("_cell", p + 1, 1) == "1", "0").otherwise("1"),
+                F.substring("_cell", p + 2, planes - p - 1),
+            )
+            for p in range(planes)
+        ]
+        q = q.withColumn("_cell", F.explode(F.array(*flips)))
+    q = F.broadcast(q)
     scored = (
         c.join(q, "_cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -147,3 +147,21 @@ def test_real_decode_raises(spark):
     media = synthetic_media(spark, n=3)
     with pytest.raises(Exception):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_ivf_multiprobe_improves_recall(spark):
+    corpus = _vectors(spark, n=200, dim=8)
+    queries = corpus.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r1 = recall(ivf_topk(corpus, queries, k=5, planes=3))
+    rm = recall(ivf_topk(corpus, queries, k=5, planes=3, multiprobe=True))
+    assert rm >= r1                  # more probes never hurt recall
+    assert rm >= 0.5                 # quantified floor at this scale
