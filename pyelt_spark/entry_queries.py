@@ -1425,3 +1425,30 @@ SELECT DISTINCT doc_id, fp FROM w
 
 QUERIES["doc_winnow_fingerprints"] = q_doc_winnow_fingerprints
 ORACLES["doc_winnow_fingerprints"] = SQL_DOC_WINNOW
+
+
+def q_events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (analytics coverage beyond
+    the reference's aggregate set)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_PERCENTILES = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["events_value_percentiles"] = q_events_value_percentiles
+ORACLES["events_value_percentiles"] = SQL_EVENTS_PERCENTILES
