@@ -492,3 +492,28 @@ def apply_snapshot(
             dels.select(sorted(dels.columns)), allowMissingColumns=True
         )
     return merge.apply_batch(table, ev, batch_id, lineage=lineage)
+
+
+def expire_history(table: Scd2Table, before_runid: int) -> dict:
+    """Retention: physically drop CLOSED history versions loaded before
+    ``before_runid`` (the lakehouse expire-snapshots / GDPR-erasure analog;
+    the reference never deletes — this is a deliberate extension). Head
+    rows — active versions and tombstones — are never touched, so current
+    state and delete bookkeeping survive any retention horizon."""
+    hist = table.hist
+    last = hist.last_commit()
+    if last is None or not last.buckets:
+        return {"expired_rows": 0}
+    df = hist.read()
+    keep = df.filter(F.col("_runid") >= before_runid)
+    n_before = df.count()
+    n_keep = keep.count()
+    all_buckets = [int(b) for b in last.buckets]
+    hist.commit(
+        keep,
+        affected_buckets=all_buckets,
+        batch_id=None,
+        metrics={"retention_before_runid": before_runid, "expired_rows": n_before - n_keep},
+    )
+    hist.vacuum()
+    return {"expired_rows": n_before - n_keep, "kept_rows": n_keep}

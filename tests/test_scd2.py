@@ -213,3 +213,22 @@ def test_head_is_one_row_per_key(spark, tmp_path):
     assert t.read().count() == 5          # full history preserved
     assert t.current().first()["text"] == "v4"
     assert t.current().first()["_revision"] == 4
+
+
+def test_expire_history_retention(spark, tmp_path):
+    from pyelt_spark.operators.scd2 import expire_history
+
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    for b in range(1, 5):
+        m.apply_batch(t, _mk(spark, [_ev(10 * b, "c1", 0, f"v{b}")]), b)
+    assert t.read().count() == 4       # 1 active + 3 closed
+
+    out = expire_history(t, before_runid=3)
+    assert out["expired_rows"] == 2    # versions from runs 1 and 2
+    hist_runs = {r["_runid"] for r in t.hist.read().collect()}
+    assert hist_runs == {3}
+    # head untouched: current version still v4 with full revision chain
+    cur = t.current().first()
+    assert cur["text"] == "v4" and cur["_revision"] == 3
+    assert t.read().count() == 2
