@@ -264,3 +264,36 @@ def test_datamart_star_schema(spark, tmp_path):
     assert (
         fact.agg({"n_versions": "sum"}).first()[0] == vault.sat.read().count()
     )
+
+
+def test_current_state_and_conversation_views(spark, tmp_path):
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.plans.views import current_state_view
+    from pyelt_spark.sources.events import transcript_change_events
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    ev = transcript_change_events(spark, 800, batch_size=400, seed=23)
+    vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
+    MicrobatchRunner(vault).replay(ev)
+
+    # hub LEFT JOIN active sat attributes, prefixed (ddl.py:505-531 shape)
+    view = current_state_view(
+        vault.hub,
+        {"turn": (vault.sat, ["turn_idx", "text"])},
+        hub_keys=["conv_id"],
+    )
+    assert "turn_turn_idx" in view.columns and "turn_text" in view.columns
+    # every active sat row appears once; hub rows without active turns survive
+    n_active = vault.sat.current().count()
+    n_hub_only = (
+        vault.hub.read()
+        .join(vault.sat.current().select("conv_id").distinct(), "conv_id", "left_anti")
+        .count()
+    )
+    assert view.count() == n_active + n_hub_only
+
+    # single-conversation drill-down view
+    conv = vault.hub.read().first()["conv_id"]
+    one = vault.conversation_view(conv)
+    assert one.filter(F.col("conv_id") != conv).count() == 0
+    assert one.count() >= 1
