@@ -232,3 +232,14 @@ def test_expire_history_retention(spark, tmp_path):
     cur = t.current().first()
     assert cur["text"] == "v4" and cur["_revision"] == 3
     assert t.read().count() == 2
+
+
+def test_empty_batch_is_bookkeeping_only(spark, tmp_path):
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, "x")]), 1)
+    empty = spark.createDataFrame([], _SCHEMA)
+    met = m.apply_batch(t, empty, 2)
+    assert met["deduped_keys"] == 0 and met["inserted"] == 0
+    assert 2 in t.committed_batch_ids()      # batch id still recorded
+    assert t.read().count() == 1              # state untouched
