@@ -322,11 +322,18 @@ def q_pricing_summary(spark, sf_dir):
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
-            F.sum(
-                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-            ).cast("decimal(38,8)").alias("sum_disc_price"),
+            # sums run in DECIMAL (exact, order-independent) and only the
+            # final projection casts to double — the driver value-hashes raw
+            # cell renderings and DECIMAL stringifies differently across
+            # engines, while identical IEEE doubles render identically
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 6).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+                ).cast("double"),
+                6,
+            ).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
             F.round(
                 F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6
@@ -338,9 +345,9 @@ def q_pricing_summary(spark, sf_dir):
 
 SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
-  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_qty,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_base_price,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS sum_disc_price,
   count(*) AS count_order,
   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty
 FROM lineitem
@@ -359,25 +366,37 @@ def q_shipping_priority(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
+            # order/limit on the EXACT decimal sum (ties at the cutoff must
+            # resolve identically in both engines), project rounded double
             F.sum(
                 _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-            ).cast("decimal(38,8)").alias("revenue")
+            ).alias("_revenue_exact")
         )
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .orderBy(F.desc("_revenue_exact"), "l_orderkey")
         .limit(10)
+        .select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            F.round(F.col("_revenue_exact").cast("double"), 6).alias("revenue"),
+        )
     )
 
 
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+  round(CAST(revenue_exact AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+    sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue_exact
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue_exact DESC, l_orderkey
+  LIMIT 10
+)
 """
 
 
@@ -396,9 +415,12 @@ def q_nation_revenue(spark, sf_dir):
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(
-                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-            ).cast("decimal(38,8)").alias("revenue"),
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+                ).cast("double"),
+                6,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -407,7 +429,7 @@ def q_nation_revenue(spark, sf_dir):
 
 SQL_NATION_REVENUE = """
 SELECT r_name, n_name,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS revenue,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS revenue,
   count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -449,7 +471,7 @@ def q_events_hourly_rollup(spark, sf_dir):
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(38,4)").alias("sum_value"),
+            F.round(F.sum(_dec("value")).cast("double"), 6).alias("sum_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -458,7 +480,7 @@ def q_events_hourly_rollup(spark, sf_dir):
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -502,7 +524,7 @@ s AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
   FROM g
 )
-SELECT user_id, session_num, count(*) AS n_events,
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num, count(*) AS n_events,
   min(ts) AS session_start, max(ts) AS session_end
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -1062,7 +1084,7 @@ def q_stream_hourly_rollup(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(_dec("value")).cast("decimal(38,4)").alias("sum_value"),
+            F.round(F.sum(_dec("value")).cast("double"), 6).alias("sum_value"),
         )
     )
     _STREAM_N["n"] += 1
@@ -1084,7 +1106,7 @@ SQL_STREAM_HOURLY = """
 WITH m AS (SELECT max(ts) AS mx FROM events)
 SELECT date_trunc('hour', ts) AS hour, event_type,
   count(*) AS n_events,
-  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value
 FROM events, m
 GROUP BY 1, 2, m.mx
 HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
@@ -1187,10 +1209,13 @@ def q_promo_revenue_share(spark, sf_dir):
     return (
         joined.groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(is_promo, rev).otherwise(F.lit(0).cast("decimal(18,4)")))
-            .cast("decimal(38,8)")
-            .alias("promo_revenue"),
-            F.sum(rev).cast("decimal(38,8)").alias("total_revenue"),
+            F.round(
+                F.sum(F.when(is_promo, rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast(
+                    "double"
+                ),
+                6,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev).cast("double"), 6).alias("total_revenue"),
         )
         .orderBy("l_linestatus")
     )
@@ -1198,10 +1223,10 @@ def q_promo_revenue_share(spark, sf_dir):
 
 SQL_PROMO_REVENUE_SHARE = """
 SELECT l_linestatus,
-  CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
+  round(CAST(sum(CASE WHEN p_type LIKE 'STANDARD%'
     THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
-    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,8)) AS promo_revenue,
-  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS total_revenue
+    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 6) AS promo_revenue,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 6) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY l_linestatus ORDER BY l_linestatus
 """
@@ -1325,12 +1350,12 @@ versions AS (
 -- row; later deletes on an already-dead key no-op)
 SELECT sha256(v.conv_id) AS conversation_key, v.batch_id AS run_id,
   count(*) AS n_versions,
-  sum(CASE WHEN EXISTS (
+  CAST(sum(CASE WHEN EXISTS (
         SELECT 1 FROM c1 d
         WHERE d.conv_id = v.conv_id AND d.turn_idx = v.turn_idx
           AND d.op = 'D' AND d.batch_id > v.batch_id
           AND (v.nxt IS NULL OR d.batch_id < v.nxt)
-      ) THEN 1 ELSE 0 END) AS n_deleted
+      ) THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
 FROM versions v
 GROUP BY 1, 2
 """

@@ -20,9 +20,12 @@ Scale design — this is the operator that meets hot-key skew head on
   key in a single task, so it is NOT the scale path.
 
 Determinism: ties on the ordering columns (duplicate ``(key, seq)`` events
-are a required test case, FIXTURES §1) are broken by a SHA-256 digest of
-the full payload, so replay always picks the same winner regardless of
-partitioning or input order.
+are a required test case, FIXTURES §1) are broken by an xxhash64 digest of
+the canonicalized payload, so replay always picks the same winner
+regardless of partitioning or input order. (xxhash64, not SHA: it runs on
+every pre-dedup row, and a 2^-64 collision between two DIVERGING duplicate
+payloads — which the fixtures never produce and real CDC streams make
+astronomically unlikely — is the accepted trade for hashing speed.)
 """
 
 from __future__ import annotations

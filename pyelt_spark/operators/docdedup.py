@@ -103,15 +103,22 @@ def ngram_jaccard_pairs(
     sets, so the cap only bounds candidate GENERATION, not verification.
     """
     sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
+    # count-only aggregate → rare-shingle set → semi-join → self-join on the
+    # shingle. No per-shingle id arrays anywhere: a hot shingle shared by
+    # millions of docs costs one counter in the aggregate, not an id-list
+    # buffer (ADVICE r1 — collect_list before the filter was the OOM path)
     rare = (
         sh_rows.groupBy("_s")
-        .agg(F.count("*").alias("_df"), F.collect_list("_id").alias("_ids"))
+        .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_docfreq)
+        .select("_s")
     )
+    idx = sh_rows.join(rare, "_s", "left_semi")
     cand = (
-        rare.select(F.explode("_ids").alias("a"), F.col("_ids"))
-        .select("a", F.explode("_ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
+        idx.alias("x")
+        .join(idx.alias("y"), "_s")
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
         .distinct()
     )
     return _verify_jaccard(cand, sh_rows, threshold)

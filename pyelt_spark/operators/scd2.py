@@ -298,12 +298,10 @@ class Scd2Merge:
             if head_state is not None:
                 head_state.unpersist()
 
-        if not write_buckets:
-            table.head.commit(None, [], batch_id, recipe=recipe, metrics=metrics)
-            _cleanup()
-            return metrics
-
-        # 5. new head versions (insert / update / reinsert)
+        # 5. new head versions (insert / update / reinsert) — defined before
+        #    the empty-write branch so a first batch that writes nothing
+        #    (e.g. all 'D' events on an empty table) can still bootstrap the
+        #    head schema instead of crash-looping on redelivery
         new_versions = (
             j.filter(F.col("_verdict").isin("insert", "update", "reinsert"))
             .filter(F.col(BUCKET_COL).isin(write_buckets))
@@ -327,6 +325,17 @@ class Scd2Merge:
                 F.col(BUCKET_COL),
             )
         )
+
+        if not write_buckets:
+            if table.head.last_commit() is None:
+                # first batch produced nothing writable (all-'D'/noop): pin
+                # the head schema so this bookkeeping commit — and every
+                # later read — has one (ADVICE r1: streaming redelivery of
+                # such a batch crash-looped on the no-schema ValueError)
+                table.head.init_schema(new_versions.schema, recipe=recipe)
+            table.head.commit(None, [], batch_id, recipe=recipe, metrics=metrics)
+            _cleanup()
+            return metrics
 
         if head_state is None:
             table.head.commit(
@@ -454,10 +463,15 @@ def snapshot_delete_events(
     alive = table.current().select(*merge.business_keys, F.col(s.insert_ts))
     present = snapshot.select(*merge.business_keys).distinct()
     missing = alive.join(present, merge.business_keys, "left_anti")
+    # null payload literals carry the snapshot's REAL column types: a string
+    # literal would make apply_snapshot's union widen the stored column to
+    # string, retyping it in the persisted schema (violates the additive-only
+    # never-retyped contract, reference ddl.py:122-144)
+    snap_types = dict(snapshot.dtypes)
     d = missing.select(
         *[F.col(c) for c in merge.business_keys],
         *[
-            F.lit(None).cast("string").alias(c)
+            F.lit(None).cast(snap_types.get(c, "string")).alias(c)
             for c in merge.payload_cols
         ],
         F.col(s.insert_ts).cast("timestamp").alias(merge.ts_col),
@@ -499,21 +513,109 @@ def expire_history(table: Scd2Table, before_runid: int) -> dict:
     ``before_runid`` (the lakehouse expire-snapshots / GDPR-erasure analog;
     the reference never deletes — this is a deliberate extension). Head
     rows — active versions and tombstones — are never touched, so current
-    state and delete bookkeeping survive any retention horizon."""
+    state and delete bookkeeping survive any retention horizon.
+
+    Metadata-pruned (no full-table scan): a hist data dir appended by the
+    commit of batch B holds only versions inserted strictly before B, so
+    dirs with ``B <= before_runid`` are dropped whole by manifest reference
+    (zero data I/O). Surviving dirs are kept untouched when their parquet
+    footer ``min(_runid) >= before_runid``; only buckets with genuinely
+    mixed-age dirs are filter-rewritten, and expired counts come from the
+    footers, not extra count() scans."""
     hist = table.hist
     last = hist.last_commit()
     if last is None or not last.buckets:
         return {"expired_rows": 0}
-    df = hist.read()
-    keep = df.filter(F.col("_runid") >= before_runid)
-    n_before = df.count()
-    n_keep = keep.count()
-    all_buckets = [int(b) for b in last.buckets]
-    hist.commit(
-        keep,
-        affected_buckets=all_buckets,
-        batch_id=None,
-        metrics={"retention_before_runid": before_runid, "expired_rows": n_before - n_keep},
-    )
+
+    import pyarrow.parquet as pq
+
+    ver_batch = {c.version: c.batch_id for c in hist.commits()}
+
+    def _dir_version(d: str) -> int:
+        # "data/v7/_bucket_p=3" -> 7
+        return int(d.split(os.sep)[1][1:])
+
+    def _footer_stats(d: str) -> tuple[int, int | None]:
+        """(row_count, min _runid or None if stats are unavailable)."""
+        p = os.path.join(hist.path, d)
+        rows, mn = 0, None
+        for fname in os.listdir(p):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(p, fname)).metadata
+            rows += md.num_rows
+            try:
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.row_group(0).column(i).path_in_schema == "_runid"
+                )
+            except StopIteration:
+                return rows, None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or st.min is None:
+                    return rows, None
+                mn = st.min if mn is None else min(mn, st.min)
+        return rows, mn
+
+    expired = 0
+    overrides: dict[str, list[str]] = {}
+    rewrite: list[int] = []
+    for b, dirs in last.buckets.items():
+        kept: list[str] = []
+        dropped = False
+        needs_rewrite = False
+        for d in dirs:
+            bid = ver_batch.get(_dir_version(d))
+            if bid is not None and bid <= before_runid:
+                expired += _footer_stats(d)[0]
+                dropped = True
+                continue
+            kept.append(d)
+            _, mn = _footer_stats(d)
+            if mn is None or mn < before_runid:
+                needs_rewrite = True
+        if needs_rewrite:
+            rewrite.append(int(b))
+            if dropped:
+                # rewrite reads the post-drop dir set, so publish the drop
+                # first via override; the data commit then overwrites
+                overrides[b] = kept
+        elif dropped:
+            overrides[b] = kept
+
+    kept_rows = None
+    if rewrite:
+        # publish the whole-dir drops, then filter-rewrite ONLY mixed buckets
+        if overrides:
+            hist.commit(
+                None, [], batch_id=None, bucket_overrides=overrides,
+                metrics={"retention_dir_drops": True, "before_runid": before_runid},
+            )
+        df = hist.read(buckets=rewrite)
+        keep = df.filter(F.col("_runid") >= before_runid).persist()
+        n_keep = keep.count()
+        n_before = sum(
+            _footer_stats(d)[0]
+            for b in rewrite
+            for d in hist.last_commit().buckets.get(str(b), [])
+        )
+        expired += n_before - n_keep
+        kept_rows = n_keep
+        hist.commit(
+            keep,
+            affected_buckets=rewrite,
+            batch_id=None,
+            metrics={"retention_before_runid": before_runid, "expired_rows": expired},
+        )
+        keep.unpersist()
+    elif overrides:
+        hist.commit(
+            None, [], batch_id=None, bucket_overrides=overrides,
+            metrics={"retention_before_runid": before_runid, "expired_rows": expired},
+        )
     hist.vacuum()
-    return {"expired_rows": n_before - n_keep, "kept_rows": n_keep}
+    out = {"expired_rows": expired, "rewritten_buckets": rewrite}
+    if kept_rows is not None:
+        out["kept_rows"] = kept_rows
+    return out

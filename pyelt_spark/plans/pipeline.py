@@ -67,14 +67,21 @@ class TranscriptVault:
 
         Idempotent per batch_id on every table (exactly-once replay).
         """
-        payload_cols = [c for c in self.sat_merge.payload_cols if c in events.columns] + [
+        # per-batch payload list: declared cols present in the batch plus any
+        # new (additive-evolution) cols. Built into a per-batch merge config —
+        # mutating the shared self.sat_merge would make the vault
+        # non-reentrant and column-order-dependent (ADVICE r1)
+        from dataclasses import replace
+
+        base = self.sat_merge.payload_cols
+        payload_cols = [c for c in base if c in events.columns] + [
             c
             for c in events.columns
-            if c not in self.sat_merge.payload_cols
+            if c not in base
             and c not in BUSINESS_KEYS
             and c not in ("seq", "op", "batch_id", "ts")
         ]
-        self.sat_merge.payload_cols = payload_cols
+        sat_merge = replace(self.sat_merge, payload_cols=payload_cols)
 
         # hub/link are registries of every key EVER seen upserting — they feed
         # from raw upsert events (a turn created and deleted inside one batch
@@ -89,7 +96,7 @@ class TranscriptVault:
         with ThreadPoolExecutor(max_workers=3) as pool:
             f_hub = pool.submit(self.hub_merge.apply_batch, self.hub, upserts, batch_id)
             f_sat = pool.submit(
-                self.sat_merge.apply_batch, self.sat, events, batch_id, lineage or {}
+                sat_merge.apply_batch, self.sat, events, batch_id, lineage or {}
             )
             f_link = pool.submit(
                 self.link_merge.apply_batch,

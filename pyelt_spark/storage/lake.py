@@ -191,6 +191,7 @@ class LakeTable:
         recipe: HashRecipe | None = None,
         metrics: dict[str, Any] | None = None,
         mode: str = "overwrite",
+        bucket_overrides: dict[str, list[str]] | None = None,
     ) -> Commit:
         """Publish a new table version.
 
@@ -199,7 +200,10 @@ class LakeTable:
         ``mode='append'``: ``new_data`` holds only NEW rows; affected
         buckets keep their existing files and gain one more dir (the
         insert-only hub/link path — no read-modify-write).
-        Unaffected buckets are carried forward by reference either way."""
+        Unaffected buckets are carried forward by reference either way.
+        ``bucket_overrides``: manifest-only dir-list replacements applied on
+        top of the carry-forward (retention drops whole expired dirs by
+        reference — zero data I/O; an empty list removes the bucket)."""
         last = self.last_commit()
         version = (last.version + 1) if last else 1
         rel_dir = os.path.join("data", f"v{version}")
@@ -229,6 +233,11 @@ class LakeTable:
                     buckets[str(b)] = [new_dir]
             elif mode != "append":
                 buckets.pop(str(b), None)  # bucket emptied by this commit
+        for b, ds in (bucket_overrides or {}).items():
+            if ds:
+                buckets[str(b)] = list(ds)
+            else:
+                buckets.pop(str(b), None)
 
         schema_json = (
             json.loads(new_data.schema.json())

@@ -22,6 +22,14 @@ TABLES = [
 
 
 def norm_cell(v):
+    """STRICT cell rendering — mimics the driver's value hash.
+
+    Round 1 lesson: the driver does NOT normalize Decimals, so DECIMAL
+    outputs (Spark decimal(38,x) vs DuckDB decimal/HUGEINT) hash-mismatch
+    even when numerically equal. str(Decimal) here is deliberately
+    unnormalized so any final projection still emitting DECIMAL fails
+    locally before it fails the driver gate.
+    """
     import datetime
     import decimal
 
@@ -30,7 +38,7 @@ def norm_cell(v):
     if isinstance(v, float):
         return repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return str(v)
     if isinstance(v, bool):
         return str(bool(v)).lower()
     if isinstance(v, datetime.datetime):
@@ -38,6 +46,22 @@ def norm_cell(v):
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
+
+
+def fragile_type_warnings(rows, colnames, engine):
+    """Flag output cell types whose cross-engine rendering is not stable:
+    Decimal (scale differs by engine) and out-of-int64 ints (DuckDB HUGEINT).
+    """
+    import decimal
+
+    warns = set()
+    for r in rows[:100]:
+        for i, v in enumerate(r):
+            if isinstance(v, decimal.Decimal):
+                warns.add(f"{engine}:{colnames[i]}=Decimal")
+            elif isinstance(v, int) and not isinstance(v, bool) and abs(v) >= 2**63:
+                warns.add(f"{engine}:{colnames[i]}=int128")
+    return warns
 
 
 def value_hash(rows, colnames):
@@ -95,6 +119,11 @@ def main():
         sh = value_hash([tuple(r) for r in srows], scols)
         dh = value_hash(drows, dcols)
         ok_hash = sh == dh
+        warns = fragile_type_warnings(
+            [tuple(r) for r in srows], scols, "spark"
+        ) | fragile_type_warnings(drows, dcols, "duck")
+        if warns:
+            print(f"WARN  {name}: fragile output types: {sorted(warns)}")
         status = "OK  " if (ok_count and ok_schema and ok_hash) else "FAIL"
         if status == "FAIL":
             failures.append(name)
