@@ -1,0 +1,207 @@
+"""Driver queries for the DECLARED second domain (orders/customers vault).
+
+Exercises the declarative domain-model layer (plans/domain.py,
+dv_metaclasses.py:9-189 analog) and the generic multi-entity ``Pipe``
+orchestration (plans/pipe.py, pipeline.py:657-744 analog) end-to-end on a
+domain that is NOT the transcript vault: two hub entities, SCD2 sats, and
+a HybridLink with the type discriminator in the link key (dv.py:99-111).
+
+The change stream derives deterministically from the driver's
+``orders``/``customer`` parquet so the DuckDB oracle can state final SCD2
+state in closed form:
+
+* batch 1 — all customers + odd orders (upserts)
+* batch 2 — even orders (upserts)
+* batch 3 — orders with ``o_orderkey % 5 = 0`` re-upserted with
+  ``o_orderstatus = 'X'`` (a real SCD2 revision: close v0, insert v1)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyelt_spark.plans.domain import (
+    Col,
+    HubEntity,
+    HybridLink,
+    LinkEntity,
+    LinkReference,
+    Sat,
+)
+from pyelt_spark.plans.pipe import Pipe, SorToEntityMapping, SorToLinkMapping
+
+
+class Customer(HubEntity):
+    __bk__ = ["c_custkey"]
+
+    class Default(Sat):
+        c_name = Col()
+        c_acctbal = Col("double")
+        c_mktsegment = Col()
+
+
+class Order(HubEntity):
+    __bk__ = ["o_orderkey"]
+
+    class Default(Sat):
+        o_orderstatus = Col()
+        o_totalprice = Col("double")
+        o_orderpriority = Col()
+
+
+class CustomerOrderLink(LinkEntity):
+    class Link(HybridLink):
+        class Types:
+            urgent = "urgent"
+            normal = "normal"
+
+        customer = LinkReference(Customer)
+        order = LinkReference(Order)
+
+
+LINK_TYPE_EXPR = "CASE WHEN o_orderpriority LIKE '1-%' THEN 'urgent' ELSE 'normal' END"
+
+
+def _mappings():
+    return [
+        SorToEntityMapping(entity=Customer, filter="src = 'customer'"),
+        SorToEntityMapping(entity=Order, filter="src = 'order'"),
+        SorToLinkMapping(
+            link=CustomerOrderLink, filter="src = 'order'", type_expr=LINK_TYPE_EXPR
+        ),
+    ]
+
+
+def _domain_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    null = lambda t: F.lit(None).cast(t)  # noqa: E731
+    cust = c.select(
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_acctbal"),
+        F.col("c_mktsegment"),
+        null("long").alias("o_orderkey"),
+        null("string").alias("o_orderstatus"),
+        null("double").alias("o_totalprice"),
+        null("string").alias("o_orderpriority"),
+        F.lit("customer").alias("src"),
+        F.lit(1).alias("batch_id"),
+        F.lit("1995-01-01").cast("timestamp").alias("ts"),
+    )
+    base = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        null("string").alias("c_name"),
+        null("double").alias("c_acctbal"),
+        null("string").alias("c_mktsegment"),
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+        F.lit("order").alias("src"),
+        F.when(F.col("o_orderkey") % 2 == 1, F.lit(1)).otherwise(F.lit(2)).alias("batch_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    upd = (
+        base.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("batch_id", F.lit(3))
+    )
+    ev = cust.unionByName(base).unionByName(upd)
+    return ev.withColumn("seq", F.col("batch_id").cast("long")).withColumn(
+        "op", F.lit("U")
+    )
+
+
+_PIPES: dict[str, Pipe] = {}
+
+
+def replayed_domain(spark: SparkSession, sf_dir: str) -> Pipe:
+    """Replay the 3-batch stream through a fresh Pipe once per sf_dir."""
+    if sf_dir not in _PIPES:
+        root = tempfile.mkdtemp(prefix="pyelt_spark_domain_")
+        pipe = Pipe(spark, root, _mappings(), num_buckets=16)
+        pipe.replay(_domain_events(spark, sf_dir))
+        _PIPES[sf_dir] = pipe
+    return _PIPES[sf_dir]
+
+
+# --------------------------------------------------------------------------
+# driver queries + oracles
+# --------------------------------------------------------------------------
+
+
+def q_domain_orders_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current order state threaded through the whole declared vault: hybrid
+    link rows (type in key) → FK-join to the customer hub → order sat current
+    → customer sat current. Exercises hub/sat/link derivation AND the hash FK
+    integrity (the joins run on the computed fk columns)."""
+    pipe = replayed_domain(spark, sf_dir)
+    link = pipe.link_table(CustomerOrderLink).read().select(
+        F.col("type").alias("link_type"), "fk_customer", "fk_order", "o_orderkey"
+    )
+    cust_hub = pipe.hub_table(Customer).read().select(
+        F.col("_key").alias("fk_customer"), "c_custkey"
+    )
+    osat = pipe.sat_table(Order.Default).current().select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("_revision").alias("revision"),
+    )
+    csat = pipe.sat_table(Customer.Default).current().select("c_custkey", "c_mktsegment")
+    return (
+        link.join(cust_hub, "fk_customer")
+        .join(osat, "o_orderkey")
+        .join(F.broadcast(csat), "c_custkey")
+        .select("o_orderkey", "status", "revision", "link_type", "c_custkey", "c_mktsegment")
+    )
+
+
+SQL_DOMAIN_ORDERS_CURRENT = """
+SELECT o.o_orderkey,
+  CASE WHEN o.o_orderkey % 5 = 0 THEN 'X' ELSE o.o_orderstatus END AS status,
+  CAST(CASE WHEN o.o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS revision,
+  CASE WHEN o.o_orderpriority LIKE '1-%' THEN 'urgent' ELSE 'normal' END AS link_type,
+  o.o_custkey AS c_custkey,
+  c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_domain_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 history of the declared order sat: every version ever
+    stored with its revision and active flag (hist ∪ head read path)."""
+    pipe = replayed_domain(spark, sf_dir)
+    return pipe.sat_table(Order.Default).read().select(
+        "o_orderkey",
+        F.col("_revision").alias("revision"),
+        F.col("_active").alias("active"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("_runid").alias("run_id"),
+    )
+
+
+SQL_DOMAIN_ORDERS_HISTORY = """
+SELECT o_orderkey, CAST(0 AS BIGINT) AS revision,
+  (o_orderkey % 5 <> 0) AS active, o_orderstatus AS status,
+  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 2 END AS BIGINT) AS run_id
+FROM orders
+UNION ALL
+SELECT o_orderkey, CAST(1 AS BIGINT), TRUE, 'X', CAST(3 AS BIGINT)
+FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+DOMAIN_QUERIES = {
+    "domain_orders_current": q_domain_orders_current,
+    "domain_orders_history": q_domain_orders_history,
+}
+
+DOMAIN_ORACLES = {
+    "domain_orders_current": SQL_DOMAIN_ORDERS_CURRENT,
+    "domain_orders_history": SQL_DOMAIN_ORDERS_HISTORY,
+}

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from pyelt_spark.functions.hashing import hashdiff
 from pyelt_spark.operators.dedup import latest_per_key
+from pyelt_spark.operators.docdedup import simhash_oracle_sql
 from pyelt_spark.plans.pipeline import TranscriptVault
 from pyelt_spark.streaming.runner import MicrobatchRunner
 
@@ -771,11 +772,14 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash via vectorized Arrow pandas_udf — no SQL oracle (the driver
-    records a rows-only check)."""
-    from pyelt_spark.operators.docdedup import simhash64
+    """64-bit SimHash per document — all-JVM relational dataflow (explode →
+    sha2 → 64 bit-sum aggregates), value-checked against a DuckDB twin that
+    computes the identical signature. The Arrow pandas_udf variant
+    (docdedup.simhash64) stays as the DbFunction-coverage path; bit-identity
+    between the two is pytest-covered."""
+    from pyelt_spark.operators.docdedup import simhash_hex
 
-    return simhash64(_t(spark, sf_dir, "documents"))
+    return simhash_hex(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
@@ -807,47 +811,97 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+def _dup_corpus(spark, sf_dir):
+    """Derived near-dup corpus: every embedding plus a near-identical twin
+    (vec_id + 100000, component 0 scaled ×1.001) — deterministic in both
+    engines, so the LSH path has a real match set to recall (the raw table's
+    only close pair sits at cosine ≈0.51, below the near-dup regime LSH is
+    built for)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("v"), lambda x, i: F.when(i == 0, x * F.lit(1.001)).otherwise(x)
+        ).alias("v"),
+    )
+    return emb.unionByName(twin)
+
+
 def q_embedding_dup_pairs(spark, sf_dir):
-    """Exact cosine near-dup pairs (brute force — the verifier baseline)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id"), v.alias("_v")).withColumn(
-        "_n", F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0), lambda s, x: s + x * x))
-    )
-    a = base.select(F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
-    b = base.select(F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
-        .filter(F.col("cosine") >= 0.5)
-        .select("vec_a", "vec_b", "cosine")
+    """Cosine near-dup pairs via BANDED hyperplane LSH + exact verification
+    (operators/docdedup.embedding_dup_pairs — the scale path: candidates
+    meet only inside a (band, key) bucket, verified pairs ⊆ brute force).
+    The brute-force SQL twin is the oracle: output must be IDENTICAL, i.e.
+    the banding recalled every true pair."""
+    from pyelt_spark.operators.docdedup import embedding_dup_pairs
+
+    corpus = _dup_corpus(spark, sf_dir)
+    return embedding_dup_pairs(
+        corpus, id_col="vec_id", vec_col="v",
+        threshold=0.98, bands=4, rows_per_band=8, dim=64,
+    ).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"), "cosine"
     )
 
 
 SQL_EMBEDDING_DUP_PAIRS = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000,
+    list_transform(range(1, len(v) + 1),
+                   i -> CASE WHEN i = 1 THEN v[i] * 1.001 ELSE v[i] END)
+  FROM base
+)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   round(list_dot_product(a.v, b.v)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.98
 """
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF-cell ANN (recall < 1 by design) — rows-only check, no oracle."""
+    """IVF-cell ANN (recall < 1 by design vs full-scan; EXACT within the
+    probed cells). The oracle reproduces the cell assignment in SQL with the
+    same literal hyperplane weights and brute-forces inside the cells, so
+    this is a full value check of the IVF path."""
     from pyelt_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, planes=3)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, planes=3, dim=64)
+
+
+def _ivf_oracle_sql(planes: int = 3, dim: int = 64, k: int = 5) -> str:
+    from pyelt_spark.operators.similarity import hyperplane_weights, weights_sql_literal
+
+    lits = weights_sql_literal(hyperplane_weights(planes, dim))
+    cell = "concat(" + ", ".join(
+        f"CASE WHEN list_dot_product(v, {w}) > 0 THEN '1' ELSE '0' END" for w in lits
+    ) + ")"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {cell} AS cell FROM e),
+q AS (SELECT vec_id AS qid, v AS qv, cell FROM sig WHERE vec_id < 8),
+scored AS (
+  SELECT qid AS query_id, s.vec_id AS neighbor_id,
+    round(list_dot_product(qv, s.v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS cosine
+  FROM q JOIN sig s USING (cell) WHERE s.vec_id <> qid
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF_TOPK = _ivf_oracle_sql()
 
 
 QUERIES.update(
@@ -877,7 +931,8 @@ ORACLES.update(
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
-        # dedup_simhash, ann_ivf_topk: intentionally no oracle (rows-only)
+        "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "dedup_simhash": simhash_oracle_sql(),
     }
 )
 
@@ -1477,3 +1532,13 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_value_percentiles"] = q_events_value_percentiles
 ORACLES["events_value_percentiles"] = SQL_EVENTS_PERCENTILES
+
+
+# --------------------------------------------------------------------------
+# declared second domain (orders/customers vault through the generic Pipe)
+# --------------------------------------------------------------------------
+
+from pyelt_spark.entry_domain import DOMAIN_ORACLES, DOMAIN_QUERIES  # noqa: E402
+
+QUERIES.update(DOMAIN_QUERIES)
+ORACLES.update(DOMAIN_ORACLES)

@@ -231,6 +231,88 @@ def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return df.select(F.col(id_col), _simhash64(F.col(text_col)).alias("simhash"))
 
 
+def simhash_hex(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as 16 lowercase hex chars — ALL-JVM relational form.
+
+    Same signature as the pandas_udf ``_simhash64`` (bit-identity covered by
+    test_docops), but expressed as explode → sha2 → 64 codegen'd bit-sum
+    aggregates: no Python in the hot path, map-side partial aggregation
+    collapses each document's token contributions before the shuffle, and a
+    DuckDB oracle can compute the identical signature (the reason the driver
+    query is now value-checked instead of rows-only).
+
+    Bit layout matches ``_simhash64``: token hash h = first 16 hex chars of
+    sha256(token); bit b (0 = LSB) lives in hex position 16 - b//4 at
+    in-nibble shift b%4; signature bit b = 1 iff sum over tokens of
+    (2·bit−1) > 0.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_t"),
+    ).filter(F.col("_t") != "")
+    h = toks.withColumn("_h", F.substring(F.sha2(F.col("_t"), 256), 1, 16))
+    nib = [
+        F.conv(F.substring("_h", pos, 1), 16, 10).cast("int") for pos in range(1, 17)
+    ]
+    sums = [
+        F.sum(
+            F.shiftright(nib[15 - b // 4], b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    agg = h.groupBy(id_col).agg(*sums)
+    digits = [
+        F.lower(
+            F.conv(
+                sum(
+                    F.when(F.col(f"_b{4 * (16 - i) + k}") > 0, F.lit(1 << k)).otherwise(
+                        F.lit(0)
+                    )
+                    for k in range(4)
+                ).cast("string"),
+                10,
+                16,
+            )
+        )
+        for i in range(1, 17)
+    ]
+    return agg.select(F.col(id_col), F.concat(*digits).alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    """DuckDB twin of ``simhash_hex`` (identical bit layout)."""
+    nib = {
+        pos: f"(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+        for pos in range(1, 17)
+    }
+    sums = ",\n    ".join(
+        f"sum((({nib[16 - b // 4]} >> {b % 4}) & 1) * 2 - 1) AS b{b}"
+        for b in range(64)
+    )
+    digits = ", ".join(
+        "substr('0123456789abcdef', 1 + "
+        + " + ".join(f"(CASE WHEN b{4 * (16 - i) + k} > 0 THEN {1 << k} ELSE 0 END)"
+                     for k in range(4))
+        + ", 1)"
+        for i in range(1, 17)
+    )
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+    unnest(list_filter(regexp_split_to_array(lower({text_col}), '\\s+'), x -> x <> '')) AS tok
+  FROM {table}
+),
+h AS (SELECT {id_col}, substr(sha256(tok), 1, 16) AS hx FROM t),
+agg AS (
+  SELECT {id_col},
+    {sums}
+  FROM h GROUP BY {id_col}
+)
+SELECT {id_col}, concat({digits}) AS simhash FROM agg
+"""
+
+
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Pairs with identical SimHash (hamming distance 0 — bucket join;
     hamming<=k variants bucket on signature chunks the same way)."""
@@ -247,51 +329,65 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Cosine near-duplicates via random-hyperplane LSH + exact verify.
+    """Cosine near-duplicates via BANDED random-hyperplane LSH + exact verify.
 
-    Hyperplanes are pseudo-random but fully deterministic: component j of
-    plane p is sin(1 + p*dim + j) — reproducible anywhere, no RNG state.
+    ``bands × rows_per_band`` hyperplanes (deterministic literal weights,
+    operators/similarity.hyperplane_weights — engine-portable, no RNG, no
+    libm dependence); each band's bit-substring is a bucket key, candidates
+    meet only inside a (band, key) bucket — the minhash banding shape, so
+    bucket count scales as bands·2^rows instead of one 2^planes table, and
+    a near-dup pair survives if ANY band matches (recall 1-(1-p^r)^b).
+    Candidates are verified with exact cosine; output ⊆ the brute-force
+    pair set by construction, equal to it whenever every true pair shares
+    ≥1 band (guaranteed-by-measurement for the near-identical duplicates
+    this operator targets at threshold ≥0.95).
     """
-    dim = len(df.select(vec_col).first()[0])
+    from pyelt_spark.operators.similarity import _cell_sig
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = bands * rows_per_band
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    planes_expr = [
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: F.sin(F.lit(1.0) + F.lit(float(p * dim)) + j.cast("double")),
-                ),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        for p in range(planes)
-    ]
-    sig = F.concat_ws(
-        "", *[F.when(pe > 0, F.lit("1")).otherwise(F.lit("0")) for pe in planes_expr]
-    )
     base = df.select(
-        F.col(id_col).alias("_id"), v.alias("_v"), norm.alias("_n"), sig.alias("_sig")
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+        norm.alias("_n"),
+        _cell_sig(v, dim, planes).alias("_sig"),
     ).persist()
-    a = base.select(
-        F.col("_id").alias("doc_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_sig"
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("_sig", 1 + b * rows_per_band, rows_per_band).alias("key"),
+            )
+            for b in range(bands)
+        ]
     )
-    b = base.select(
-        F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_sig"
+    buckets = base.select("_id", F.explode(band_structs).alias("_b")).select(
+        "_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
     )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["_band", "_key"])
+        .filter(F.col("x._id") < F.col("y._id"))
+        .select(F.col("x._id").alias("doc_a"), F.col("y._id").alias("doc_b"))
+        .distinct()
+    )
+    a = base.select(F.col("_id").alias("doc_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = base.select(F.col("_id").alias("doc_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     dot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "_sig")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")

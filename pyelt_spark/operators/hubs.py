@@ -39,6 +39,10 @@ class HubMerge:
     ts_col: str = "ts"
     source_system: str = "events"
     key_col: str = "_key"
+    # non-key attribute columns carried onto the registry row (min() over the
+    # key group — valueset descriptions, display labels); insert-only like
+    # the keys themselves
+    carry_cols: list[str] = field(default_factory=list)
 
     def _extra_cols(self) -> list[Column]:
         """Deterministic derived columns (functions of the business keys)."""
@@ -61,12 +65,22 @@ class HubMerge:
             .agg(
                 F.min(F.col(self.ts_col).cast("timestamp")).alias("_first_ts"),
                 *[F.min(c).alias(c) for c in self.business_keys],
+                *[F.min(c).alias(c) for c in self.carry_cols],
             )
             .select(
                 F.col(self.key_col),
-                F.lit(self.hub_type).alias("type"),
+                # dv.py:48/:93 — the `type` column is the static hub/link
+                # type, EXCEPT when the key itself carries a discriminator
+                # (HybridLink, dv.py:99-111): then the row's type IS the key
+                # part and the static name would collide with it
+                (
+                    F.col("type")
+                    if "type" in self.business_keys
+                    else F.lit(self.hub_type)
+                ).alias("type"),
                 business_key(*self.business_keys).alias("bk"),
-                *[F.col(c) for c in self.business_keys],
+                *[F.col(c) for c in self.business_keys if c != "type"],
+                *[F.col(c) for c in self.carry_cols],
                 *self._extra_cols(),
                 F.lit(batch_id).cast("long").alias("_runid"),
                 F.col("_first_ts").alias("_insert_ts"),

