@@ -196,12 +196,88 @@ FROM orders WHERE o_orderkey % 5 = 0
 """
 
 
+def q_datamart_dim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic type-2 dimension built from the declared order sat
+    (plans/datamart.scd2_dim): one row per stored version, deterministic
+    sha256 surrogate, validity interval — the reusable dim builder the
+    reference delegates to pygrametl (dm.py:1-110)."""
+    from pyelt_spark.plans.datamart import scd2_dim
+
+    pipe = replayed_domain(spark, sf_dir)
+    return scd2_dim(
+        pipe.sat_table(Order.Default).read(),
+        nk=["o_orderkey"],
+        attrs=["o_orderstatus"],
+    )
+
+
+SQL_DATAMART_DIM_ORDERS = """
+SELECT sha256(concat(o_orderkey, '|', CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 2 END)) AS dim_key,
+  o_orderkey, o_orderstatus,
+  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 2 END AS BIGINT) AS version_run,
+  o_orderdate AS valid_from,
+  CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate ELSE CAST(NULL AS TIMESTAMP) END AS valid_to
+FROM orders
+UNION ALL
+SELECT sha256(concat(o_orderkey, '|', 3)), o_orderkey, 'X', CAST(3 AS BIGINT),
+  o_orderdate, CAST(NULL AS TIMESTAMP)
+FROM orders WHERE o_orderkey % 5 = 0
+"""
+
+
+def q_asof_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD lookup via the as-of join operator
+    (operators/asof.asof_join, union+window — one shuffle, no
+    versions×facts blowup): each lineitem resolves its order's status AS OF
+    the ship date against a two-version derived status history (original at
+    o_orderdate, 'SHIPPED' 30 days later)."""
+    from pyelt_spark.operators.asof import asof_join
+
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    v0 = o.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderdate").alias("_vts"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v1 = o.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("_vts"),
+        F.lit("SHIPPED").alias("status"),
+    )
+    hist = v0.unionByName(v1)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_shipdate"
+    )
+    resolved = asof_join(
+        li, hist, keys=["l_orderkey"], left_ts="l_shipdate", right_ts="_vts",
+        right_cols=["status"],
+    )
+    return (
+        resolved.groupBy(F.col("status").alias("status_at_ship"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("status_at_ship")
+    )
+
+
+SQL_ASOF_LINEITEM_STATUS = """
+SELECT status_at_ship, count(*) AS n FROM (
+  SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY THEN 'SHIPPED'
+              WHEN l_shipdate >= o_orderdate THEN o_orderstatus END AS status_at_ship
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+) GROUP BY 1 ORDER BY 1
+"""
+
+
 DOMAIN_QUERIES = {
     "domain_orders_current": q_domain_orders_current,
     "domain_orders_history": q_domain_orders_history,
+    "datamart_dim_orders": q_datamart_dim_orders,
+    "asof_lineitem_status": q_asof_lineitem_status,
 }
 
 DOMAIN_ORACLES = {
     "domain_orders_current": SQL_DOMAIN_ORDERS_CURRENT,
     "domain_orders_history": SQL_DOMAIN_ORDERS_HISTORY,
+    "datamart_dim_orders": SQL_DATAMART_DIM_ORDERS,
+    "asof_lineitem_status": SQL_ASOF_LINEITEM_STATUS,
 }

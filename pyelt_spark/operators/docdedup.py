@@ -50,12 +50,45 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _shingle_rows_raw(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, _s) exploded shingles WITH positional duplicates, hash-
+    partitioned by _id (the window's exchange).
+
+    Fully codegen'd: posexplode the words, build each shingle with ``lead``
+    window lookaheads. (The previous per-document higher-order ``transform``
+    over a slice/concat lambda was INTERPRETED — 6.6 of the 9.3 bench
+    seconds of dedup_minhash_lsh at sf0.1; memory rule: never put a HOF on
+    the row-count hot path.) concat_ws skips the nulls lead produces past
+    the document end, matching slice's short tail, and rows beyond index
+    max(size-n, 0) are dropped. Duplicate-insensitive consumers (minhash
+    min() aggregates grouped on _id) run on this WITHOUT another exchange —
+    the window already partitioned by _id."""
+    from pyspark.sql import Window
+
+    from pyelt_spark.functions.text import normalized
+
+    toks = F.split(normalized(text_col), " ")
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_sz"),
+        F.posexplode(toks).alias("_p", "_w"),
+    )
+    w = Window.partitionBy("_id").orderBy("_p")
+    shingle = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", k).over(w) for k in range(1, n)]
+    )
+    return (
+        words.withColumn("_s", shingle)
+        .filter(F.col("_p") <= F.greatest(F.col("_sz") - n, F.lit(0)))
+        .select("_id", "_s")
+    )
+
+
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(_id, _s) exploded distinct shingles — the relational form every
-    Jaccard operator works from. The higher-order shingle expression runs
-    exactly once per document; everything downstream is codegen'd
-    relational ops (interpreted HOFs never run per candidate pair)."""
-    return df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("_s"))
+    """(_id, _s) exploded DISTINCT shingles — the set form exact-Jaccard
+    verification works from (set semantics: duplicates would inflate
+    intersections). Output set identical to ``explode(shingles(text, n))``."""
+    return _shingle_rows_raw(df, id_col, text_col, n).distinct()
 
 
 def _verify_jaccard(
@@ -164,8 +197,12 @@ def minhash_lsh_pairs(
     """
     assert num_perm <= 12
     rows_per_band = num_perm // bands
-    sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
-    hx = sh_rows.select(
+    raw = _shingle_rows_raw(df, id_col, text_col, n).persist()
+    sh_rows = raw.distinct().persist()
+    # signatures aggregate the RAW rows: min() is duplicate-insensitive and
+    # the window inside _shingle_rows_raw already partitioned by _id, so
+    # this groupBy reuses that exchange — no extra shuffle on the sig path
+    hx = raw.select(
         "_id",
         F.concat(
             F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)

@@ -49,8 +49,15 @@ class HubMerge:
         return []
 
     def apply_batch(
-        self, table: LakeTable, batch: DataFrame, batch_id: int
+        self,
+        table: LakeTable,
+        batch: DataFrame,
+        batch_id: int,
+        affected_buckets: list[int] | None = None,
     ) -> dict[str, Any]:
+        """``affected_buckets``: optional precomputed superset of the batch's
+        buckets (see Scd2Merge.apply_batch) — skips the per-batch bucket
+        discovery job; pruned reads just get wider."""
         if batch_id in table.committed_batch_ids():
             return {"skipped_duplicate_batch": batch_id}
         # group on the hash key itself: the aggregate's output partitioning
@@ -89,7 +96,11 @@ class HubMerge:
             .withColumn(BUCKET_COL, bucket_expr(self.key_col, table.num_buckets))
             .persist()
         )
-        affected = [r[0] for r in keys.select(BUCKET_COL).distinct().collect()]
+        affected = (
+            [int(b) for b in affected_buckets]
+            if affected_buckets is not None
+            else [r[0] for r in keys.select(BUCKET_COL).distinct().collect()]
+        )
         first_load = table.last_commit() is None or not table.last_commit().buckets
         if first_load:
             fresh = keys

@@ -166,9 +166,16 @@ class Scd2Merge:
         events: DataFrame,
         batch_id: int,
         lineage: dict[str, Any] | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> dict[str, Any]:
         """Apply one microbatch; returns merge metrics. Idempotent: an
-        already-committed batch_id is skipped (exactly-once)."""
+        already-committed batch_id is skipped (exactly-once).
+
+        ``affected_buckets``: optional precomputed bucket list (any SUPERSET
+        of the batch's true buckets is correct — it only widens the pruned
+        head read). A replay loop computes every batch's buckets in one job
+        up front (streaming/runner.py), removing a per-batch driver-blocking
+        job from the merge critical path."""
         if batch_id in table.committed_batch_ids():
             return {"skipped_duplicate_batch": batch_id}
 
@@ -202,7 +209,11 @@ class Scd2Merge:
         batch = batch.withColumn("_op", op).persist()
 
         # 2. affected-bucket discovery → pruned HEAD read (one row per key)
-        affected = [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        affected = (
+            [int(b) for b in affected_buckets]
+            if affected_buckets is not None
+            else [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
+        )
         first_load = table.last_commit() is None or not table.last_commit().buckets
 
         if first_load:
@@ -420,27 +431,45 @@ class Scd2Merge:
         new_head = _align(kept).unionByName(new_versions)
         hist_rows = _align(to_hist)
 
-        # 7. commit: history append FIRST (idempotent via its own batch log),
-        #    head overwrite SECOND (the authoritative "batch applied" marker);
-        #    a crash between the two replays cleanly (hist skips, head redoes)
+        # 7. commit. DATA writes for hist and head overlap (both derive from
+        #    the persisted verdict join; two concurrent Spark jobs), then the
+        #    MANIFESTS publish strictly in order: history append FIRST
+        #    (idempotent via its own batch log), head overwrite SECOND (the
+        #    authoritative "batch applied" marker). A crash anywhere —
+        #    including after either stage, which leaves only invisible
+        #    unpublished files — replays cleanly (hist skips, head redoes).
         n_closing = metrics_rows.get("update", 0) + metrics_rows.get("reinsert", 0)
-        if n_closing and batch_id not in table.hist.committed_batch_ids():
-            # hist rows are the head rows of update/reinsert keys, so their
-            # buckets are already known from the verdict aggregation
-            hist_buckets = sorted(
-                {r[BUCKET_COL] for r in vc if r["_verdict"] in ("update", "reinsert")}
-            )
-            if hist_buckets:
-                table.hist.commit(
-                    hist_rows,
-                    hist_buckets,
-                    batch_id,
-                    metrics={"closed_rows_appended": True},
-                    mode="append",
-                )
-        table.head.commit(
-            new_head, write_buckets, batch_id, recipe=recipe, metrics=metrics
+        hist_buckets = sorted(
+            {r[BUCKET_COL] for r in vc if r["_verdict"] in ("update", "reinsert")}
         )
+        do_hist = (
+            n_closing
+            and hist_buckets
+            and batch_id not in table.hist.committed_batch_ids()
+        )
+        if do_hist:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_hist = pool.submit(table.hist.stage, hist_rows, hist_buckets)
+                f_head = pool.submit(table.head.stage, new_head, write_buckets)
+                staged_hist, staged_head = f_hist.result(), f_head.result()
+            table.hist.commit(
+                None,
+                hist_buckets,
+                batch_id,
+                metrics={"closed_rows_appended": True},
+                mode="append",
+                staged=staged_hist,
+            )
+            table.head.commit(
+                None, write_buckets, batch_id, recipe=recipe, metrics=metrics,
+                staged=staged_head,
+            )
+        else:
+            table.head.commit(
+                new_head, write_buckets, batch_id, recipe=recipe, metrics=metrics
+            )
         _cleanup()
         return metrics
 

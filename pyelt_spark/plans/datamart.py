@@ -29,6 +29,39 @@ def dim_conversation(vault: TranscriptVault) -> DataFrame:
     )
 
 
+def scd2_dim(
+    sat_read: DataFrame,
+    nk: list[str],
+    attrs: list[str],
+    runid_col: str = "_runid",
+    insert_ts: str = "_insert_ts",
+    finish_ts: str = "_finish_ts",
+) -> DataFrame:
+    """Generic type-2 dimension from any SCD2 satellite read: one row per
+    stored version with a deterministic surrogate key and a validity
+    interval (the reusable dim builder the reference delegates to pygrametl,
+    dm.py:1-110 — here a pure projection, no loader loop).
+
+    Surrogate = sha256(natural key ‖ '|' ‖ runid): reproducible across
+    replays and engines (the oracle computes the identical key), unlike a
+    sequence. ``valid_to`` is NULL for the open version.
+    """
+    key = F.sha2(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in nk], F.col(runid_col).cast("string")
+        ),
+        256,
+    )
+    return sat_read.select(
+        key.alias("dim_key"),
+        *[F.col(c) for c in nk],
+        *[F.col(c) for c in attrs],
+        F.col(runid_col).alias("version_run"),
+        F.col(insert_ts).alias("valid_from"),
+        F.col(finish_ts).alias("valid_to"),
+    )
+
+
 def fact_turn_versions(vault: TranscriptVault) -> DataFrame:
     """Version fact: one row per (conversation, load run) with version and
     delete counts — the grain a load-monitoring datamart wants."""

@@ -61,7 +61,11 @@ class TranscriptVault:
     # ----------------------------------------------------------------- apply
 
     def apply_batch(
-        self, events: DataFrame, batch_id: int, lineage: dict[str, Any] | None = None
+        self,
+        events: DataFrame,
+        batch_id: int,
+        lineage: dict[str, Any] | None = None,
+        affected: dict[str, list[int]] | None = None,
     ) -> dict[str, Any]:
         """One microbatch: dedup once, then hub / sat / link merges.
 
@@ -93,16 +97,22 @@ class TranscriptVault:
         # jobs; on a cluster this overlaps three shuffle/write pipelines)
         from concurrent.futures import ThreadPoolExecutor
 
+        aff = affected or {}
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_hub = pool.submit(self.hub_merge.apply_batch, self.hub, upserts, batch_id)
+            f_hub = pool.submit(
+                self.hub_merge.apply_batch, self.hub, upserts, batch_id,
+                aff.get("hub"),
+            )
             f_sat = pool.submit(
-                sat_merge.apply_batch, self.sat, events, batch_id, lineage or {}
+                sat_merge.apply_batch, self.sat, events, batch_id, lineage or {},
+                aff.get("sat"),
             )
             f_link = pool.submit(
                 self.link_merge.apply_batch,
                 self.link,
                 upserts.filter(F.col("tool").isNotNull()),
                 batch_id,
+                aff.get("link"),
             )
             out = {"hub": f_hub.result(), "sat": f_sat.result(), "link": f_link.result()}
         self.maintain()

@@ -54,10 +54,12 @@ BUCKET_COL = "_bucket"
 _PART_COL = "_bucket_p"  # duplicated partition dir column (partitionBy drops it)
 
 
-def bucket_expr(key_col: str, num_buckets: int):
-    """Deterministic bucket id for a key: pmod(murmur3, N) — the same shape
-    as Iceberg's bucket transform. Stable across runs and cluster sizes."""
-    return F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)).cast("int")
+def bucket_expr(key_col, num_buckets: int):
+    """Deterministic bucket id for a key column (name or Column):
+    pmod(murmur3, N) — the same shape as Iceberg's bucket transform.
+    Stable across runs and cluster sizes."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.pmod(F.hash(c), F.lit(num_buckets)).cast("int")
 
 
 @dataclass
@@ -183,6 +185,38 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writing
 
+    def stage(self, new_data: DataFrame, affected_buckets: list[int]) -> dict:
+        """Write the NEXT version's data files without publishing a manifest.
+
+        Returns a staging handle for ``commit(..., staged=...)``. Lets a
+        caller overlap two tables' data writes (e.g. hist + head in one
+        merge) while still publishing their manifests in crash-safe order —
+        an unpublished stage dir is invisible (manifests are the source of
+        truth) and simply overwritten on retry. Single-writer assumption,
+        same as commit."""
+        last = self.last_commit()
+        version = (last.version + 1) if last else 1
+        rel_dir = os.path.join("data", f"v{version}")
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
+            .repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
+            .write.partitionBy(_PART_COL)
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        written: set[int] = set()
+        if os.path.isdir(out_dir):
+            for name in os.listdir(out_dir):
+                if name.startswith(f"{_PART_COL}="):
+                    written.add(int(name.split("=", 1)[1]))
+        return {
+            "version": version,
+            "rel_dir": rel_dir,
+            "written_buckets": written,
+            "schema_json": json.loads(new_data.schema.json()),
+        }
+
     def commit(
         self,
         new_data: DataFrame | None,
@@ -192,6 +226,7 @@ class LakeTable:
         metrics: dict[str, Any] | None = None,
         mode: str = "overwrite",
         bucket_overrides: dict[str, list[str]] | None = None,
+        staged: dict | None = None,
     ) -> Commit:
         """Publish a new table version.
 
@@ -206,22 +241,29 @@ class LakeTable:
         reference — zero data I/O; an empty list removes the bucket)."""
         last = self.last_commit()
         version = (last.version + 1) if last else 1
-        rel_dir = os.path.join("data", f"v{version}")
-        out_dir = os.path.join(self.path, rel_dir)
-
-        written_buckets: set[int] = set()
-        if new_data is not None:
-            (
-                new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
-                .repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
-                .write.partitionBy(_PART_COL)
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
-            if os.path.isdir(out_dir):
-                for name in os.listdir(out_dir):
-                    if name.startswith(f"{_PART_COL}="):
-                        written_buckets.add(int(name.split("=", 1)[1]))
+        if staged is not None:
+            if staged["version"] != version:
+                raise ValueError(
+                    f"stale stage: staged v{staged['version']}, next is v{version}"
+                )
+            rel_dir = staged["rel_dir"]
+            written_buckets: set[int] = staged["written_buckets"]
+        else:
+            rel_dir = os.path.join("data", f"v{version}")
+            out_dir = os.path.join(self.path, rel_dir)
+            written_buckets = set()
+            if new_data is not None:
+                (
+                    new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
+                    .repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
+                    .write.partitionBy(_PART_COL)
+                    .mode("overwrite")
+                    .parquet(out_dir)
+                )
+                if os.path.isdir(out_dir):
+                    for name in os.listdir(out_dir):
+                        if name.startswith(f"{_PART_COL}="):
+                            written_buckets.add(int(name.split("=", 1)[1]))
 
         buckets = dict(last.buckets) if last else {}
         for b in affected_buckets:
@@ -239,11 +281,14 @@ class LakeTable:
             else:
                 buckets.pop(str(b), None)
 
-        schema_json = (
-            json.loads(new_data.schema.json())
-            if new_data is not None
-            else (last.schema if last else None)
-        )
+        if staged is not None:
+            schema_json = staged["schema_json"]
+        else:
+            schema_json = (
+                json.loads(new_data.schema.json())
+                if new_data is not None
+                else (last.schema if last else None)
+            )
         if schema_json is None:
             raise ValueError("first commit must carry data to define a schema")
 

@@ -54,18 +54,61 @@ class MicrobatchRunner:
             & self.vault.hub.committed_batch_ids()
             & self.vault.link.committed_batch_ids()
         )
-        batch_ids = [
-            r[0]
-            for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
+        # ONE up-front job computes every batch's affected buckets for all
+        # three tables (batch ids fall out of the same aggregation) — the
+        # per-batch merges then skip their bucket-discovery collect, taking
+        # one driver-blocking job off each batch's critical path. A bucket
+        # SUPERSET per table is fine (hub/link sets here ignore the op/null
+        # filters): it only widens the pruned state read.
+        from pyelt_spark.functions.hashing import hash_key
+        from pyelt_spark.storage.lake import bucket_expr
+
+        v = self.vault
+        probes = [
+            F.struct(
+                F.lit("sat").alias("t"),
+                bucket_expr(
+                    hash_key(*v.sat_merge.business_keys), v.sat.num_buckets
+                ).alias("k"),
+            ),
+            F.struct(
+                F.lit("hub").alias("t"),
+                bucket_expr(
+                    hash_key(*v.hub_merge.business_keys), v.hub.num_buckets
+                ).alias("k"),
+            ),
+            F.struct(
+                F.lit("link").alias("t"),
+                F.when(
+                    F.col("tool").isNotNull(),
+                    bucket_expr(
+                        hash_key(*v.link_merge.business_keys), v.link.num_buckets
+                    ),
+                ).alias("k"),
+            ),
         ]
+        rows = (
+            events.select(
+                F.col(batch_col).alias("_b"), F.explode(F.array(*probes)).alias("s")
+            )
+            .select("_b", F.col("s.t").alias("t"), F.col("s.k").alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+            .collect()
+        )
+        affected: dict[int, dict[str, list[int]]] = {}
+        for r in rows:
+            affected.setdefault(int(r["_b"]), {}).setdefault(r["t"], []).append(
+                int(r["k"])
+            )
+        batch_ids = sorted(affected)
         out = []
         for b in batch_ids:
-            b = int(b)
             if b in done:
                 out.append({"batch_id": b, "skipped_duplicate_batch": b})
                 continue
             batch_df = events.filter(F.col(batch_col) == b)
-            metrics = self.vault.apply_batch(batch_df, b)
+            metrics = self.vault.apply_batch(batch_df, b, affected=affected.get(b))
             if on_batch:
                 on_batch(b, metrics)
             out.append(metrics)
