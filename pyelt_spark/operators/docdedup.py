@@ -197,12 +197,8 @@ def minhash_lsh_pairs(
     """
     assert num_perm <= 12
     rows_per_band = num_perm // bands
-    raw = _shingle_rows_raw(df, id_col, text_col, n).persist()
-    sh_rows = raw.distinct().persist()
-    # signatures aggregate the RAW rows: min() is duplicate-insensitive and
-    # the window inside _shingle_rows_raw already partitioned by _id, so
-    # this groupBy reuses that exchange — no extra shuffle on the sig path
-    hx = raw.select(
+    sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
+    hx = sh_rows.select(
         "_id",
         F.concat(
             F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)

@@ -242,11 +242,15 @@ class Pipe:
         batch_id: int,
         parts: list[str] | None = None,
         lineage: dict[str, Any] | None = None,
+        affected: dict[str, list[int]] | None = None,
     ) -> dict[str, Any]:
         """Apply one microbatch through the part sequence (pipeline.py:657:
         ``run(parts=['sor','valuesets','hubs','links','views','viewlinks'])``).
-        ``batch`` may be None when only view parts run."""
+        ``batch`` may be None when only view parts run. ``affected``
+        optionally maps table name → precomputed bucket superset (see
+        ``replay`` — removes the per-table bucket-discovery job)."""
         parts = ALL_PARTS if parts is None else parts
+        self._affected = affected or {}
         out: dict[str, Any] = {"batch_id": batch_id, "parts": list(parts)}
         staged = batch
 
@@ -289,11 +293,15 @@ class Pipe:
             out.update(self._run_jobs(jobs))
 
         if "views" in parts:
+            # precomputed buckets describe the SOR batch, not view output —
+            # view promotions always discover their own buckets
+            sor_affected, self._affected = self._affected, {}
             for m in self.mappings:
                 if isinstance(m, EntityViewToEntityMapping):
                     ev = self._as_upsert_events(m.view(self), batch_id)
                     jobs = self._entity_jobs(m.entity, ev, batch_id, m.sats, lineage)
                     out.update(self._run_jobs(jobs))
+            self._affected = sor_affected
 
         if "links" in parts and staged is not None:
             jobs = []
@@ -305,12 +313,14 @@ class Pipe:
             out.update(self._run_jobs(jobs))
 
         if "viewlinks" in parts:
+            sor_affected, self._affected = self._affected, {}
             jobs = []
             for m in self.mappings:
                 if isinstance(m, EntityViewToLinkMapping):
                     ev = self._as_upsert_events(m.view(self), batch_id)
                     jobs.append(self._link_job(m.link, ev, batch_id, m.type_expr))
             out.update(self._run_jobs(jobs))
+            self._affected = sor_affected
 
         return out
 
@@ -326,12 +336,12 @@ class Pipe:
     ) -> list[tuple[str, Callable[[], dict]]]:
         owner = entity.__entity_owner__
         ups = self._upserts(ev)
+        aff = getattr(self, "_affected", {})
         jobs: list[tuple[str, Callable[[], dict]]] = [
             (
                 owner.__hub_name__,
-                lambda t=self.hubs[owner], m=self.hub_merges[owner], e=ups: m.apply_batch(
-                    t, e, batch_id
-                ),
+                lambda t=self.hubs[owner], m=self.hub_merges[owner], e=ups,
+                a=aff.get(owner.__hub_name__): m.apply_batch(t, e, batch_id, a),
             )
         ]
         wanted = entity.__sats__ if sat_names is None else {
@@ -349,8 +359,9 @@ class Pipe:
             jobs.append(
                 (
                     name,
-                    lambda t=self.sats[name], m=self.sat_merges[name], e=sev: m.apply_batch(
-                        t, e, batch_id, lineage=lineage
+                    lambda t=self.sats[name], m=self.sat_merges[name], e=sev,
+                    a=aff.get(name): m.apply_batch(
+                        t, e, batch_id, lineage=lineage, affected_buckets=a
                     ),
                 )
             )
@@ -375,9 +386,12 @@ class Pipe:
         for c in required:
             if c in ev.columns:
                 ev = ev.filter(F.col(c).isNotNull())
+        aff = getattr(self, "_affected", {}).get(link_entity.__dbname__)
         return (
             link_entity.__dbname__,
-            lambda t=self.links[link_entity], m=merge, e=ev: m.apply_batch(t, e, batch_id),
+            lambda t=self.links[link_entity], m=merge, e=ev, a=aff: m.apply_batch(
+                t, e, batch_id, a
+            ),
         )
 
     def _run_jobs(self, jobs: list[tuple[str, Callable[[], dict]]]) -> dict[str, Any]:
@@ -418,11 +432,91 @@ class Pipe:
         parts: list[str] | None = None,
     ) -> list[dict]:
         """Replay a change stream batch-by-batch in batch order (the
-        multi-entity analog of TranscriptVault.replay)."""
+        multi-entity analog of TranscriptVault.replay).
+
+        Like the transcript runner, ONE up-front job computes every batch's
+        affected buckets for every sor-fed table (a superset per table —
+        mapping filters are applied, null-key rows just widen the read), so
+        the per-batch merges skip their bucket-discovery collects."""
+        from pyelt_spark.functions.hashing import hash_key
+        from pyelt_spark.storage.lake import bucket_expr
+
+        probe_frames = []
+        for m in self.mappings:
+            if isinstance(m, SorToEntityMapping):
+                ev = self._project(events, m.field_map, m.filter)
+                owner = m.entity.__entity_owner__
+                probes = []
+                if all(c in ev.columns for c in owner.__bk__):
+                    probes.append(
+                        F.struct(
+                            F.lit(owner.__hub_name__).alias("t"),
+                            bucket_expr(
+                                hash_key(*owner.__bk__), self.hubs[owner].num_buckets
+                            ).alias("k"),
+                        )
+                    )
+                for name in (m.sats or m.entity.__sats__):
+                    mg = self.sat_merges[name]
+                    if any(c not in ev.columns for c in mg.business_keys):
+                        continue  # no probe → that sat falls back to its own job
+                    probes.append(
+                        F.struct(
+                            F.lit(name).alias("t"),
+                            bucket_expr(
+                                hash_key(*mg.business_keys), self.sats[name].num_buckets
+                            ).alias("k"),
+                        )
+                    )
+                if probes:
+                    probe_frames.append(
+                        ev.select(
+                            F.col(batch_col).alias("_b"),
+                            F.explode(F.array(*probes)).alias("s"),
+                        )
+                    )
+            elif isinstance(m, SorToLinkMapping):
+                ev = self._project(events, m.field_map, m.filter)
+                mg = self.link_merges[m.link]
+                if issubclass(m.link.__link__, HybridLink):
+                    ev = ev.withColumn("type", F.expr(m.type_expr or "'default'"))
+                if any(c not in ev.columns for c in mg.business_keys):
+                    continue
+                probe = F.struct(
+                    F.lit(m.link.__dbname__).alias("t"),
+                    bucket_expr(
+                        hash_key(*mg.business_keys), self.links[m.link].num_buckets
+                    ).alias("k"),
+                )
+                probe_frames.append(
+                    ev.select(
+                        F.col(batch_col).alias("_b"), F.explode(F.array(probe)).alias("s")
+                    )
+                )
+        affected: dict[int, dict[str, list[int]]] = {}
+        if probe_frames:
+            allp = probe_frames[0]
+            for pf in probe_frames[1:]:
+                allp = allp.unionByName(pf)
+            rows = (
+                allp.select("_b", F.col("s.t").alias("t"), F.col("s.k").alias("k"))
+                .filter(F.col("k").isNotNull())
+                .distinct()
+                .collect()
+            )
+            for r in rows:
+                affected.setdefault(int(r["_b"]), {}).setdefault(r["t"], []).append(
+                    int(r["k"])
+                )
         ids = [
             r[0] for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
         ]
         return [
-            self.run(events.filter(F.col(batch_col) == b), int(b), parts=parts)
+            self.run(
+                events.filter(F.col(batch_col) == b),
+                int(b),
+                parts=parts,
+                affected=affected.get(int(b)),
+            )
             for b in ids
         ]
