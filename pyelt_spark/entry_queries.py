@@ -771,6 +771,98 @@ WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
 """
 
 
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {SQL_SHINGLES3},
+hxt AS (
+  SELECT doc_id, s, list_transform(s, x -> sha256(x) || sha256(x || '#')) AS hx
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s,
+    {_MINHASH_COLS}
+  FROM hxt
+),
+buckets AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(s) AS n FROM sh),
+pairs AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+  JOIN sz za ON za.doc_id = c.a
+  JOIN sz zb ON zb.doc_id = c.b
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / CAST(za.n + zb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.12
+),
+e AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach (node, r) AS (
+  SELECT x, x FROM e
+  UNION
+  SELECT e.x, reach.r FROM e JOIN reach ON e.y = reach.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+FROM reach GROUP BY node
+"""
+
+
+SQL_DECONTAMINATE = f"""
+WITH norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh8 AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(0, greatest(len(w) - 8, 0) + 1),
+      i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')
+    )) AS s
+  FROM toks
+),
+tr AS (SELECT doc_id, unnest(s) AS g FROM sh8 WHERE doc_id % 20 <> 0),
+ev AS (SELECT DISTINCT unnest(s) AS g FROM sh8 WHERE doc_id % 20 = 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (g)
+GROUP BY 1
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from the minhash pair edges: connected components
+    via iterative min-label propagation (docdedup.dedup_clusters) — the
+    keep-one-per-cluster step a training pipeline runs after any pair
+    operator. Oracle: DuckDB recursive CTE computing the transitive closure
+    over the identical pair set."""
+    from pyelt_spark.operators.docdedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=12, bands=4, n=3, threshold=0.12
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (n-gram-overlap test): training docs =
+    doc_id % 20 != 0, eval set = doc_id % 20 == 0; flag train docs sharing
+    any word 8-gram with the eval set."""
+    from pyelt_spark.operators.docdedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") % 20 != 0),
+        d.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+    ).orderBy("doc_id")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """64-bit SimHash per document — all-JVM relational dataflow (explode →
     sha2 → 64 bit-sum aggregates), value-checked against a DuckDB twin that
@@ -914,6 +1006,8 @@ QUERIES.update(
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -933,6 +1027,8 @@ ORACLES.update(
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
         "dedup_simhash": simhash_oracle_sql(),
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "decontaminate": SQL_DECONTAMINATE,
     }
 )
 

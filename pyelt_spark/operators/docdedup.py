@@ -357,6 +357,86 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → one canonical doc per
+    duplicate cluster: (doc_id, canonical_id = min id in the component).
+
+    Pair operators emit EDGES; a real dedup pipeline needs the CLUSTERS
+    (transitively: A≈B, B≈C ⇒ keep one of {A,B,C}). Iterative min-label
+    propagation: each round every node takes the minimum label among itself
+    and its neighbors; converges in O(component diameter) rounds — for
+    near-dup clusters (dense, star-like around a template) the diameter is
+    tiny, so a handful of joins settles web-scale inputs. Each round is one
+    shuffle join + one aggregate; labels persist round-to-round so lineage
+    stays flat. (The large-star/small-star variant halves rounds on
+    pathological chains; diameter-bounded propagation is the simple,
+    sufficient form here.) Nodes with no edge never enter — singletons are
+    their own canonical by definition and need no compute.
+    """
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().persist()
+    labels = (
+        edges.select(F.col("x").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("node").alias("y"), F.col("label")), "y"
+            ).select(F.col("x").alias("node"), "label")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY word
+    n-gram with the eval set (the standard n-gram-overlap contamination
+    test for LLM training corpora). Relational form: both sides explode to
+    distinct shingles; eval shingles (small side) broadcast/semi-join
+    against the training shingle index, so cost is one pass over the train
+    corpus regardless of how many eval docs match. Returns
+    (doc_id, n_hits) for CONTAMINATED train docs (n_hits = number of
+    distinct shared n-grams)."""
+    tr = _shingle_rows(train, id_col, text_col, n)
+    ev = _shingle_rows(evalset, id_col, text_col, n).select("_s").distinct()
+    return (
+        tr.join(ev, "_s", "left_semi")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("_id").alias(id_col), "n_hits")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

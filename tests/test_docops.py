@@ -205,3 +205,31 @@ def test_embedding_lsh_equals_brute_force(spark):
     assert {(a, a + 1000) for a in range(100)} <= got
     # and LSH verified-exactly: nothing below threshold sneaks in
     assert all(a < b for a, b in got)
+
+
+def test_dedup_clusters_transitive(spark):
+    """A≈B and B≈C must land in ONE cluster with canonical = min id, even
+    though (A,C) was never emitted as a pair — the chain case pair
+    operators cannot express."""
+    from pyelt_spark.operators.docdedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["canonical_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from pyelt_spark.operators.docdedup import decontaminate
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    train = mk([
+        (1, "a b c d e f g h i j"),          # shares the 8-gram a..h with eval
+        (2, "z y x w v u t s r q"),          # disjoint vocabulary
+        (3, "a b c d e f g h"),              # exactly one shared 8-gram
+    ])
+    evalset = mk([(100, "a b c d e f g h")])
+    out = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, evalset, n=8).collect()}
+    assert out == {1: 1, 3: 1}
