@@ -208,9 +208,14 @@ class Pipe:
         self.links[link_entity] = LakeTable(
             self.spark, os.path.join(self.root, link_entity.__dbname__), self.num_buckets
         )
+        # the static `type` value on plain-link rows is the association name
+        # without the table suffix (reference Link.type, dv.py:93)
+        link_type = link_entity.__dbname__
+        if link_type.endswith("_link"):
+            link_type = link_type[: -len("_link")]
         self.link_merges[link_entity] = LinkMerge(
             business_keys=bk,
-            hub_type=link_entity.__dbname__,
+            hub_type=link_type,
             ts_col=self.ts_col,
             source_system=self.source_system,
             leg_keys=leg_keys,

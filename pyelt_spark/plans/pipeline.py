@@ -18,45 +18,78 @@ each table's commit manifests.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyelt_spark.operators.hubs import HubMerge, LinkMerge
-from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table
-from pyelt_spark.storage.lake import LakeTable
+from pyelt_spark.plans.domain import Col, HubEntity, Link, LinkEntity, LinkReference, Sat
+from pyelt_spark.plans.pipe import Pipe, SorToEntityMapping, SorToLinkMapping
 
 PAYLOAD_COLS = ["role", "text", "tool"]
 BUSINESS_KEYS = ["conv_id", "turn_idx"]
 
 
+# --------------------------------------------------------------------------
+# the transcript DOMAIN — declared, not wired (dv_metaclasses.py analog);
+# table names, key sets, payload order and the merge set all derive from
+# these classes through plans/domain.py + plans/pipe.py
+# --------------------------------------------------------------------------
+
+
+class Conversation(HubEntity):
+    __bk__ = ["conv_id"]
+
+    class Turn(Sat):
+        turn_idx = Col("int", key=True)   # sat grain below the hub key
+        role = Col()
+        text = Col()
+        tool = Col()
+
+
+class Tool(HubEntity):
+    """Key-only leg entity: the tool leg of the link is a bare business key
+    (the reference models this as a hub the link FKs into; here the hash FK
+    needs no materialized hub table — none is mapped)."""
+
+    __bk__ = ["tool"]
+
+
+class ConversationToolLink(LinkEntity):
+    class Link(Link):
+        conversation = LinkReference(Conversation)
+        tool = LinkReference(Tool)
+
+
 class TranscriptVault:
-    """Hub/sat/link vault over a transcript change-event stream."""
+    """Hub/sat/link vault over a transcript change-event stream.
+
+    The tables and merges are COMPILED from the declared domain above by
+    the generic ``Pipe`` (one SorToEntityMapping + one SorToLinkMapping);
+    this class only adds the transcript-specific batch policy (additive
+    payload evolution from unseen event columns) and the tuned three-way
+    concurrent submit the benchmark exercises."""
 
     def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
         self.spark = spark
         self.root = root
-        self.hub = LakeTable(spark, os.path.join(root, "conversation_hub"), num_buckets)
-        self.sat = Scd2Table(spark, os.path.join(root, "turn_sat"), num_buckets)
-        self.link = LakeTable(spark, os.path.join(root, "conversation_tool_link"), num_buckets)
-        self.sat_merge = Scd2Merge(
-            business_keys=BUSINESS_KEYS,
-            payload_cols=PAYLOAD_COLS,
-            order_by=["seq"],
-            op_col="op",
-            ts_col="ts",
+        self.pipe = Pipe(
+            spark,
+            root,
+            mappings=[
+                SorToEntityMapping(entity=Conversation),
+                SorToLinkMapping(
+                    link=ConversationToolLink, filter="tool IS NOT NULL"
+                ),
+            ],
+            num_buckets=num_buckets,
         )
-        self.hub_merge = HubMerge(
-            business_keys=["conv_id"], hub_type="conversation", ts_col="ts"
-        )
-        self.link_merge = LinkMerge(
-            business_keys=["conv_id", "tool"],
-            hub_type="conversation_tool",
-            ts_col="ts",
-            leg_keys={"conversation": ["conv_id"], "tool": ["tool"]},
-        )
+        self.hub = self.pipe.hub_table(Conversation)
+        self.sat = self.pipe.sat_table(Conversation.Turn)
+        self.link = self.pipe.link_table(ConversationToolLink)
+        self.sat_merge = self.pipe.sat_merges[Conversation.Turn.__dbname__]
+        self.hub_merge = self.pipe.hub_merges[Conversation]
+        self.link_merge = self.pipe.link_merges[ConversationToolLink]
 
     # ----------------------------------------------------------------- apply
 
