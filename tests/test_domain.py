@@ -316,3 +316,60 @@ def test_view_to_entity_promotion(spark, tmp_path):
     assert cur == {"p1": 2, "p2": 2}
     p2_hist = sat.read().filter(F.col("patient_id") == "p2")
     assert p2_hist.count() == 2  # revised: v0 (1 handeling) closed + v1 active
+
+
+def test_pipe_streaming_tail(spark, tmp_path):
+    """Structured Streaming through the GENERIC pipe: foreachBatch feeds
+    pipe.run with offset epoch ids; idempotent per-table commits upgrade
+    the stream's at-least-once redelivery to exactly-once, and the final
+    state equals a plain batch replay of the same files."""
+    rows = [
+        _ev(1, "p1", "Jan", handeling="h1"),
+        _ev(2, "p2", "Piet", handeling="h2"),
+        _ev(3, "p1", "Jan J."),
+    ]
+    src = str(tmp_path / "src")
+    events = spark.createDataFrame(rows, _SCHEMA)
+    events.write.mode("overwrite").parquet(src)
+
+    pipe = Pipe(spark, str(tmp_path / "dv"), _mappings(), num_buckets=4)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: None if df.isEmpty() else pipe.run(df, 1_000_000_000 + int(eid))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sat = pipe.sat_table(Patient.Default)
+    cur = {r["patient_id"]: r["naam"] for r in sat.current().collect()}
+    assert cur == {"p1": "Jan J.", "p2": "Piet"}
+    n_commits = len(sat.commits())
+
+    # restart over the SAME checkpoint: no new files -> no new commits
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: None if df.isEmpty() else pipe.run(df, 1_000_000_000 + int(eid))
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(sat.commits()) == n_commits
+
+    # same end state as a one-shot batch replay through a fresh pipe
+    pipe2 = Pipe(spark, str(tmp_path / "dv2"), _mappings(), num_buckets=4)
+    pipe2.replay(events.withColumn("batch_id", F.lit(1)))
+    cur2 = {
+        r["patient_id"]: r["naam"]
+        for r in pipe2.sat_table(Patient.Default).current().collect()
+    }
+    assert cur2 == cur
