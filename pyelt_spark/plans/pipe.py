@@ -66,6 +66,11 @@ class SorToEntityMapping:
     field_map: dict[str, str] = field(default_factory=dict)
     filter: str | None = None
     sats: list[str] | None = None
+    # snapshot=True: the batch is a FULL snapshot, not a change stream —
+    # rows become upserts at seq=batch_id and active keys missing from the
+    # snapshot become deletes (the reference's file-load path,
+    # etl.py:108-187, via operators.scd2.apply_snapshot)
+    snapshot: bool = False
 
 
 @dataclass
@@ -294,7 +299,11 @@ class Pipe:
                 if not isinstance(m, SorToEntityMapping):
                     continue
                 ev = self._project(staged, m.field_map, m.filter)
-                jobs.extend(self._entity_jobs(m.entity, ev, batch_id, m.sats, lineage))
+                jobs.extend(
+                    self._entity_jobs(
+                        m.entity, ev, batch_id, m.sats, lineage, snapshot=m.snapshot
+                    )
+                )
             out.update(self._run_jobs(jobs))
 
         if "views" in parts:
@@ -338,6 +347,7 @@ class Pipe:
         batch_id: int,
         sat_names: list[str] | None,
         lineage: dict[str, Any] | None,
+        snapshot: bool = False,
     ) -> list[tuple[str, Callable[[], dict]]]:
         owner = entity.__entity_owner__
         ups = self._upserts(ev)
@@ -354,22 +364,37 @@ class Pipe:
         }
         for name, sat in wanted.items():
             need = self.sat_merges[name].business_keys
+            # a mapping loads only the sats its source can key: a batch
+            # without a sat's grain columns skips that sat entirely
+            # (reference: per-sat field mappings, sor_to_entity)
+            if any(c not in ev.columns for c in need):
+                continue
             sev = ev
             if isinstance(sat, type) and issubclass(sat, HybridSat):
                 sev = sev.filter(F.col("type").isNotNull())
             # rows missing any grain column can't key this sat — skip them
             for c in need:
-                if c in sev.columns:
-                    sev = sev.filter(F.col(c).isNotNull())
-            jobs.append(
-                (
-                    name,
-                    lambda t=self.sats[name], m=self.sat_merges[name], e=sev,
-                    a=aff.get(name): m.apply_batch(
-                        t, e, batch_id, lineage=lineage, affected_buckets=a
-                    ),
+                sev = sev.filter(F.col(c).isNotNull())
+            if snapshot:
+                from pyelt_spark.operators.scd2 import apply_snapshot
+
+                jobs.append(
+                    (
+                        name,
+                        lambda t=self.sats[name], m=self.sat_merges[name], e=sev:
+                        apply_snapshot(t, m, e, batch_id, lineage=lineage),
+                    )
                 )
-            )
+            else:
+                jobs.append(
+                    (
+                        name,
+                        lambda t=self.sats[name], m=self.sat_merges[name], e=sev,
+                        a=aff.get(name): m.apply_batch(
+                            t, e, batch_id, lineage=lineage, affected_buckets=a
+                        ),
+                    )
+                )
         return jobs
 
     def _link_job(

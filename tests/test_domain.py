@@ -373,3 +373,44 @@ def test_pipe_streaming_tail(spark, tmp_path):
         for r in pipe2.sat_table(Patient.Default).current().collect()
     }
     assert cur2 == cur
+
+
+def test_every_driver_query_has_an_oracle():
+    """The correctness gate only bites where an oracle exists — keep the
+    oracle set total so no query silently degrades to a rows-only check."""
+    import __spark_entry__ as entry
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert set(q) == set(o), sorted(set(q) ^ set(o))
+    assert len(q) >= 47
+
+
+def test_pipe_snapshot_mapping(spark, tmp_path):
+    """Full-snapshot loads through the generic pipe (snapshot=True): rows
+    upsert, keys absent from the snapshot tombstone (the reference's
+    file-load path through the declared domain)."""
+    pipe = Pipe(
+        spark, str(tmp_path / "dv"),
+        [SorToEntityMapping(entity=Patient, snapshot=True)],
+        num_buckets=4,
+    )
+    schema = "patient_id string, naam string, ts timestamp"
+    snap1 = spark.createDataFrame(
+        [("p1", "Jan", TS), ("p2", "Piet", TS)], schema
+    )
+    out1 = pipe.run(snap1, batch_id=1)
+    assert out1["patient_sat"]["inserted"] == 2
+
+    snap2 = spark.createDataFrame(
+        [("p1", "Jan Jansen", TS), ("p3", "Kees", TS)], schema
+    )
+    out2 = pipe.run(snap2, batch_id=2)
+    assert out2["patient_sat"]["updated"] == 1
+    assert out2["patient_sat"]["deleted"] == 1      # p2 missing → tombstone
+    assert out2["patient_sat"]["inserted"] == 1
+
+    sat = pipe.sat_table(Patient.Default)
+    cur = {r["patient_id"]: r["naam"] for r in sat.current().collect()}
+    assert cur == {"p1": "Jan Jansen", "p3": "Kees"}
+    dead = sat.head.read().filter("NOT _active").collect()
+    assert [r["patient_id"] for r in dead] == ["p2"]
