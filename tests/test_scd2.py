@@ -243,3 +243,22 @@ def test_empty_batch_is_bookkeeping_only(spark, tmp_path):
     assert met["deduped_keys"] == 0 and met["inserted"] == 0
     assert 2 in t.committed_batch_ids()      # batch id still recorded
     assert t.read().count() == 1              # state untouched
+
+
+def test_first_batch_all_deletes_bootstraps_schema(spark, tmp_path):
+    """A FIRST batch with nothing writable (all 'D' events on an empty
+    table) must commit bookkeeping + pin the head schema instead of
+    raising — in streaming-tail mode that raise was a permanent crash loop
+    (the same batch redelivers forever)."""
+    t = Scd2Table(spark, str(tmp_path / "sat"), num_buckets=4)
+    m = _merge()
+    out = m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, None, op="D")]), 1)
+    assert out["deleted"] == 0 and out["inserted"] == 0
+    assert 1 in t.committed_batch_ids()          # exactly-once marker exists
+    assert t.head.read().count() == 0            # schema pinned, no rows
+    # redelivery is a skip, and real data afterwards lands normally
+    assert m.apply_batch(t, _mk(spark, [_ev(1, "c1", 0, None, op="D")]), 1) == {
+        "skipped_duplicate_batch": 1
+    }
+    m.apply_batch(t, _mk(spark, [_ev(2, "c1", 0, "hello")]), 2)
+    assert t.current().first()["text"] == "hello"
