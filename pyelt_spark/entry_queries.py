@@ -996,6 +996,56 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 SQL_ANN_IVF_TOPK = _ivf_oracle_sql()
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF (probe the query's cell plus every Hamming-1 flip —
+    the recall/cost dial). The oracle expands the same probe set in SQL,
+    so this value-checks the multiprobe path end-to-end."""
+    from pyelt_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, planes=3, dim=64, multiprobe=True
+    )
+
+
+def _ivf_multiprobe_oracle_sql(planes: int = 3, dim: int = 64, k: int = 5) -> str:
+    from pyelt_spark.operators.similarity import hyperplane_weights, weights_sql_literal
+
+    lits = weights_sql_literal(hyperplane_weights(planes, dim))
+    cell = "concat(" + ", ".join(
+        f"CASE WHEN list_dot_product(v, {w}) > 0 THEN '1' ELSE '0' END" for w in lits
+    ) + ")"
+    flips = ", ".join(
+        "concat(substr(cell, 1, {p0}), CASE substr(cell, {p}, 1) WHEN '1' THEN '0' "
+        "ELSE '1' END, substr(cell, {p1}, {rest}))".format(
+            p0=p, p=p + 1, p1=p + 2, rest=planes - p - 1
+        )
+        for p in range(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {cell} AS cell FROM e),
+q AS (
+  SELECT vec_id AS qid, v AS qv, unnest([cell, {flips}]) AS cell
+  FROM sig WHERE vec_id < 8
+),
+scored AS (
+  SELECT qid AS query_id, s.vec_id AS neighbor_id,
+    round(list_dot_product(qv, s.v)
+          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(s.v, s.v))), 6) AS cosine
+  FROM q JOIN sig s USING (cell) WHERE s.vec_id <> qid
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+SQL_ANN_IVF_MULTIPROBE = _ivf_multiprobe_oracle_sql()
+
+
 QUERIES.update(
     {
         "doc_token_count": q_doc_token_count,
@@ -1010,6 +1060,7 @@ QUERIES.update(
         "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "embedding_dup_pairs": q_embedding_dup_pairs,
     }
 )
@@ -1026,6 +1077,7 @@ ORACLES.update(
         "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
         "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
         "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+        "ann_ivf_multiprobe": SQL_ANN_IVF_MULTIPROBE,
         "dedup_simhash": simhash_oracle_sql(),
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "decontaminate": SQL_DECONTAMINATE,
