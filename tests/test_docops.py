@@ -233,3 +233,51 @@ def test_decontaminate_ngram_overlap(spark):
     evalset = mk([(100, "a b c d e f g h")])
     out = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, evalset, n=8).collect()}
     assert out == {1: 1, 3: 1}
+
+
+def test_asof_join_matches_naive_range_join(spark):
+    """Differential check of the union+window as-of join against the naive
+    equi-join + interval filter on a seeded random history (200 facts × 3
+    keys × irregular version times), including exact-timestamp ties and
+    facts before any version."""
+    from pyspark.sql import functions as FF
+
+    from pyelt_spark.operators.asof import asof_join
+
+    right = spark.range(30).select(
+        (FF.col("id") % 3).cast("string").alias("k"),
+        (FF.xxhash64("id") % 1000).alias("vts"),
+        FF.concat(FF.lit("v"), FF.col("id")).alias("val"),
+    ).filter(FF.col("vts") >= 0)
+    left = spark.range(200).select(
+        (FF.col("id") % 3).cast("string").alias("k"),
+        (FF.xxhash64("id", FF.lit(7)) % 1100).alias("fts"),
+        FF.col("id").alias("fact_id"),
+    ).filter(FF.col("fts") >= 0)
+
+    got = {
+        (r["fact_id"], r["val"])
+        for r in asof_join(
+            left, right, keys=["k"], left_ts="fts", right_ts="vts",
+            right_cols=["val"],
+        ).collect()
+    }
+
+    # naive: equi-join + interval filter + pick max vts (tie: max val to
+    # mirror last-in-sort-order only if vts unique — make vts unique per key)
+    naive = (
+        left.join(right, "k")
+        .filter(FF.col("vts") <= FF.col("fts"))
+        .groupBy("fact_id")
+        .agg(FF.max_by("val", FF.col("vts")).alias("val"))
+    )
+    want = {(r["fact_id"], r["val"]) for r in naive.collect()}
+    no_match = {
+        (r["fact_id"], None)
+        for r in left.join(right, "k")
+        .groupBy("fact_id")
+        .agg(FF.sum(FF.when(FF.col("vts") <= FF.col("fts"), 1).otherwise(0)).alias("n"))
+        .filter(FF.col("n") == 0)
+        .collect()
+    }
+    assert got == want | no_match
