@@ -1682,6 +1682,38 @@ QUERIES["events_value_percentiles"] = q_events_value_percentiles
 ORACLES["events_value_percentiles"] = SQL_EVENTS_PERCENTILES
 
 
+def q_doc_unigram_xent(spark, sf_dir):
+    """Corpus-statistics quality filter: per-document cross-entropy against
+    the corpus unigram distribution (cheap perplexity proxy — two
+    relational passes; see functions/text.unigram_cross_entropy)."""
+    from pyelt_spark.functions.text import unigram_cross_entropy
+
+    return unigram_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_DOC_UNIGRAM_XENT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split({SQL_NORM}, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+freq AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+tot AS (SELECT sum(cw) AS n_total FROM freq),
+per AS (SELECT doc_id, w, count(*) AS k FROM tok GROUP BY 1, 2),
+wt AS (
+  SELECT per.doc_id, per.k,
+    CAST(round(-ln(CAST(cw AS DOUBLE) / CAST(n_total AS DOUBLE)), 9) AS DECIMAL(18,9))
+      * CAST(per.k AS DECIMAL(9,0)) AS t
+  FROM per JOIN freq USING (w) CROSS JOIN tot
+)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+  round(CAST(sum(t) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS xent
+FROM wt GROUP BY doc_id
+"""
+
+QUERIES["doc_unigram_xent"] = q_doc_unigram_xent
+ORACLES["doc_unigram_xent"] = SQL_DOC_UNIGRAM_XENT
+
+
 # --------------------------------------------------------------------------
 # declared second domain (orders/customers vault through the generic Pipe)
 # --------------------------------------------------------------------------

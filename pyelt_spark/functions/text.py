@@ -124,3 +124,49 @@ def winnow_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+def unigram_cross_entropy(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document cross-entropy against the CORPUS unigram distribution —
+    the classic cheap perplexity proxy for corpus quality filtering (high =
+    tokens rare in this corpus = boilerplate/noise/outlier; low = typical
+    text). Two relational passes, no model: token frequencies are one
+    map-side-combinable aggregate over the exploded token stream, then each
+    document's mean -ln(p(w)) folds per (doc, token) with counts.
+
+    Cross-engine determinism: each token's -ln(c_w/N) term is rounded to 9
+    decimals and summed in DECIMAL (exact, order-independent) so the DuckDB
+    oracle reproduces the value bit-for-bit; only the final mean is a
+    double. Returns (id, n_tokens, xent).
+    """
+    from pyspark.sql import functions as F
+
+    tok = (
+        df.select(F.col(id_col).alias("_id"),
+                  F.explode(F.split(normalized(text_col), " ")).alias("_w"))
+        .filter(F.col("_w") != "")
+    )
+    freq = tok.groupBy("_w").agg(F.count("*").alias("_cw"))
+    total = freq.agg(F.sum("_cw").alias("_n_total"))
+    # decimal(18,9) × decimal(9,0) → decimal(28,9): exact, and inside BOTH
+    # engines' 38-digit cap (wider operands overflow DuckDB's multiply)
+    term = F.round(
+        -F.log(F.col("_cw").cast("double") / F.col("_n_total").cast("double")), 9
+    ).cast("decimal(18,9)")
+    weighted = (
+        tok.groupBy("_id", "_w").agg(F.count("*").alias("_k"))
+        .join(freq, "_w")
+        .crossJoin(F.broadcast(total))
+        .select("_id", "_k", (term * F.col("_k").cast("decimal(9,0)")).alias("_t"))
+    )
+    return (
+        weighted.groupBy("_id")
+        .agg(F.sum("_k").alias("n_tokens"), F.sum("_t").alias("_sum"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.col("_sum").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("xent"),
+        )
+    )

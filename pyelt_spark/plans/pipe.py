@@ -455,6 +455,23 @@ class Pipe:
     def link_table(self, link_entity: type[LinkEntity]) -> LakeTable:
         return self.links[link_entity]
 
+    def maintain(self, max_dirs_per_bucket: int = 16) -> None:
+        """Small-file maintenance across every compiled table: append-mode
+        tables (hubs, links, valuesets, sat histories) gain one dir per
+        touched bucket per batch; compact any bucket whose manifest
+        references more than ``max_dirs_per_bucket`` dirs. Manifest
+        inspection is in-memory — zero cost when nothing is fragmented."""
+        tables = (
+            list(self.hubs.values())
+            + list(self.links.values())
+            + list(self.valuesets.values())
+            + [s.hist for s in self.sats.values()]
+        )
+        for t in tables:
+            last = t.last_commit()
+            if last and any(len(d) > max_dirs_per_bucket for d in last.buckets.values()):
+                t.compact(max_versions_per_bucket=max_dirs_per_bucket)
+
     def replay(
         self,
         events: DataFrame,
@@ -541,7 +558,7 @@ class Pipe:
         ids = [
             r[0] for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
         ]
-        return [
+        out = [
             self.run(
                 events.filter(F.col(batch_col) == b),
                 int(b),
@@ -550,3 +567,5 @@ class Pipe:
             )
             for b in ids
         ]
+        self.maintain()
+        return out
