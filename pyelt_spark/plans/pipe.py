@@ -294,71 +294,72 @@ class Pipe:
                     )
 
         if "hubs" in parts and staged is not None:
-            jobs: list[tuple[str, Callable[[], dict]]] = []
-            for m in self.mappings:
-                if not isinstance(m, SorToEntityMapping):
-                    continue
-                ev = self._project(staged, m.field_map, m.filter)
-                jobs.extend(
-                    self._entity_jobs(
-                        m.entity, ev, batch_id, m.sats, lineage, snapshot=m.snapshot
-                    )
-                )
-            out.update(self._run_jobs(jobs))
+            # N mappings may feed ONE table (two source shapes into one
+            # entity, or subtype entities sharing a hub): group by target
+            # and UNION the projections — per-table tables are single-writer
+            # and idempotent per batch_id, so two concurrent jobs on one
+            # table would race and the loser's rows would silently drop
+            inputs = [
+                (m, self._project(staged, m.field_map, m.filter))
+                for m in self.mappings
+                if isinstance(m, SorToEntityMapping)
+            ]
+            out.update(self._run_jobs(self._grouped_entity_jobs(inputs, batch_id, lineage)))
 
         if "views" in parts:
             # precomputed buckets describe the SOR batch, not view output —
             # view promotions always discover their own buckets
             sor_affected, self._affected = self._affected, {}
-            for m in self.mappings:
-                if isinstance(m, EntityViewToEntityMapping):
-                    ev = self._as_upsert_events(m.view(self), batch_id)
-                    jobs = self._entity_jobs(m.entity, ev, batch_id, m.sats, lineage)
-                    out.update(self._run_jobs(jobs))
+            inputs = [
+                (m, self._as_upsert_events(m.view(self), batch_id))
+                for m in self.mappings
+                if isinstance(m, EntityViewToEntityMapping)
+            ]
+            if inputs:
+                out.update(
+                    self._run_jobs(self._grouped_entity_jobs(inputs, batch_id, lineage))
+                )
             self._affected = sor_affected
 
         if "links" in parts and staged is not None:
-            jobs = []
+            link_evs: dict = {}
             for m in self.mappings:
                 if not isinstance(m, SorToLinkMapping):
                     continue
                 ev = self._project(staged, m.field_map, m.filter)
-                jobs.append(self._link_job(m.link, ev, batch_id, m.type_expr))
-            out.update(self._run_jobs(jobs))
+                link_evs.setdefault(m.link, []).append(
+                    self._link_input(m.link, ev, m.type_expr)
+                )
+            out.update(self._run_jobs(self._link_jobs(link_evs, batch_id)))
 
         if "viewlinks" in parts:
             sor_affected, self._affected = self._affected, {}
-            jobs = []
+            link_evs = {}
             for m in self.mappings:
                 if isinstance(m, EntityViewToLinkMapping):
                     ev = self._as_upsert_events(m.view(self), batch_id)
-                    jobs.append(self._link_job(m.link, ev, batch_id, m.type_expr))
-            out.update(self._run_jobs(jobs))
+                    link_evs.setdefault(m.link, []).append(
+                        self._link_input(m.link, ev, m.type_expr)
+                    )
+            out.update(self._run_jobs(self._link_jobs(link_evs, batch_id)))
             self._affected = sor_affected
 
         return out
 
     # ----------------------------------------------------------------- jobs
 
-    def _entity_jobs(
+    def _entity_inputs(
         self,
         entity: type[HubEntity],
         ev: DataFrame,
-        batch_id: int,
         sat_names: list[str] | None,
-        lineage: dict[str, Any] | None,
         snapshot: bool = False,
-    ) -> list[tuple[str, Callable[[], dict]]]:
+    ) -> tuple[tuple[type[HubEntity], DataFrame], list[tuple[str, DataFrame, bool]]]:
+        """One mapping's contribution: (hub owner, upsert frame) plus
+        per-sat (name, keyed frame, snapshot?) inputs."""
         owner = entity.__entity_owner__
-        ups = self._upserts(ev)
-        aff = getattr(self, "_affected", {})
-        jobs: list[tuple[str, Callable[[], dict]]] = [
-            (
-                owner.__hub_name__,
-                lambda t=self.hubs[owner], m=self.hub_merges[owner], e=ups,
-                a=aff.get(owner.__hub_name__): m.apply_batch(t, e, batch_id, a),
-            )
-        ]
+        hub_input = (owner, self._upserts(ev))
+        sat_inputs: list[tuple[str, DataFrame, bool]] = []
         wanted = entity.__sats__ if sat_names is None else {
             n: s for n, s in entity.__sats__.items() if n in sat_names
         }
@@ -375,13 +376,57 @@ class Pipe:
             # rows missing any grain column can't key this sat — skip them
             for c in need:
                 sev = sev.filter(F.col(c).isNotNull())
-            if snapshot:
+            sat_inputs.append((name, sev, snapshot))
+        return hub_input, sat_inputs
+
+    def _grouped_entity_jobs(
+        self,
+        inputs: list[tuple[Any, DataFrame]],
+        batch_id: int,
+        lineage: dict[str, Any] | None,
+    ) -> list[tuple[str, Callable[[], dict]]]:
+        """Union per-mapping frames per TARGET table, one job per table."""
+        hub_evs: "OrderedDict[type[HubEntity], list[DataFrame]]" = OrderedDict()
+        sat_evs: "OrderedDict[str, list[DataFrame]]" = OrderedDict()
+        sat_snap: dict[str, set[bool]] = {}
+        for m, ev in inputs:
+            hub_in, sats_in = self._entity_inputs(
+                m.entity, ev, m.sats, getattr(m, "snapshot", False)
+            )
+            hub_evs.setdefault(hub_in[0], []).append(hub_in[1])
+            for name, sev, snap in sats_in:
+                sat_evs.setdefault(name, []).append(sev)
+                sat_snap.setdefault(name, set()).add(snap)
+
+        def _union(frames: list[DataFrame]) -> DataFrame:
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f, allowMissingColumns=True)
+            return u
+
+        aff = getattr(self, "_affected", {})
+        jobs: list[tuple[str, Callable[[], dict]]] = []
+        for owner, frames in hub_evs.items():
+            jobs.append(
+                (
+                    owner.__hub_name__,
+                    lambda t=self.hubs[owner], m=self.hub_merges[owner], e=_union(frames),
+                    a=aff.get(owner.__hub_name__): m.apply_batch(t, e, batch_id, a),
+                )
+            )
+        for name, frames in sat_evs.items():
+            if len(sat_snap[name]) > 1:
+                raise ValueError(
+                    f"sat {name}: mixing snapshot and change-stream mappings "
+                    "in one run is ambiguous (snapshot claims completeness)"
+                )
+            if sat_snap[name] == {True}:
                 from pyelt_spark.operators.scd2 import apply_snapshot
 
                 jobs.append(
                     (
                         name,
-                        lambda t=self.sats[name], m=self.sat_merges[name], e=sev:
+                        lambda t=self.sats[name], m=self.sat_merges[name], e=_union(frames):
                         apply_snapshot(t, m, e, batch_id, lineage=lineage),
                     )
                 )
@@ -389,7 +434,7 @@ class Pipe:
                 jobs.append(
                     (
                         name,
-                        lambda t=self.sats[name], m=self.sat_merges[name], e=sev,
+                        lambda t=self.sats[name], m=self.sat_merges[name], e=_union(frames),
                         a=aff.get(name): m.apply_batch(
                             t, e, batch_id, lineage=lineage, affected_buckets=a
                         ),
@@ -397,14 +442,12 @@ class Pipe:
                 )
         return jobs
 
-    def _link_job(
+    def _link_input(
         self,
         link_entity: type[LinkEntity],
         ev: DataFrame,
-        batch_id: int,
         type_expr: str | None,
-    ) -> tuple[str, Callable[[], dict]]:
-        merge = self.link_merges[link_entity]
+    ) -> DataFrame:
         ev = self._upserts(ev)
         link = link_entity.__link__
         if issubclass(link, HybridLink):
@@ -416,13 +459,27 @@ class Pipe:
         for c in required:
             if c in ev.columns:
                 ev = ev.filter(F.col(c).isNotNull())
-        aff = getattr(self, "_affected", {}).get(link_entity.__dbname__)
-        return (
-            link_entity.__dbname__,
-            lambda t=self.links[link_entity], m=merge, e=ev, a=aff: m.apply_batch(
-                t, e, batch_id, a
-            ),
-        )
+        return ev
+
+    def _link_jobs(
+        self, link_evs: dict, batch_id: int
+    ) -> list[tuple[str, Callable[[], dict]]]:
+        """One job per link table, per-mapping frames unioned (same
+        single-writer rationale as _grouped_entity_jobs)."""
+        jobs = []
+        for link_entity, frames in link_evs.items():
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f, allowMissingColumns=True)
+            aff = getattr(self, "_affected", {}).get(link_entity.__dbname__)
+            jobs.append(
+                (
+                    link_entity.__dbname__,
+                    lambda t=self.links[link_entity], m=self.link_merges[link_entity],
+                    e=u, a=aff: m.apply_batch(t, e, batch_id, a),
+                )
+            )
+        return jobs
 
     def _run_jobs(self, jobs: list[tuple[str, Callable[[], dict]]]) -> dict[str, Any]:
         if not jobs:

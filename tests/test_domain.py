@@ -414,3 +414,56 @@ def test_pipe_snapshot_mapping(spark, tmp_path):
     assert cur == {"p1": "Jan Jansen", "p3": "Kees"}
     dead = sat.head.read().filter("NOT _active").collect()
     assert [r["patient_id"] for r in dead] == ["p2"]
+
+
+class Organisatie(HubEntity):
+    __bk__ = ["org_id"]
+
+    class Default(Sat):
+        naam = Col()
+
+
+class Zorginstelling(Organisatie):
+    class Zorginstelling(Sat):
+        agb = Col()
+
+
+class Zorgverzekeraar(Organisatie):
+    class Zorgverzekeraar(Sat):
+        nummer = Col()
+
+
+def test_two_mappings_one_hub_union(spark, tmp_path):
+    """Two subtype-entity mappings share ONE hub (the reference's
+    Organisatie pattern): their projections must UNION into a single hub
+    merge per batch — two concurrent jobs on one table would race its
+    single-writer commit log, and idempotence would silently drop the
+    loser's keys."""
+    mappings = [
+        SorToEntityMapping(entity=Zorginstelling, filter="kind = 'zi'"),
+        SorToEntityMapping(entity=Zorgverzekeraar, filter="kind = 'zv'"),
+    ]
+    pipe = Pipe(spark, str(tmp_path / "dv"), mappings, num_buckets=4)
+    schema = "org_id string, kind string, naam string, agb string, nummer string, seq long, op string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            ("o1", "zi", "Ziekenhuis A", "agb1", None, 1, "U", TS),
+            ("o2", "zv", "Verzekeraar B", None, "n2", 2, "U", TS),
+        ],
+        schema,
+    )
+    out = pipe.run(b1, batch_id=1)
+    # ONE hub job saw BOTH mappings' keys
+    assert out["organisatie_hub"]["new_keys"] == 2
+    hub_rows = pipe.hub_table(Organisatie).read().collect()
+    assert {r["org_id"] for r in hub_rows} == {"o1", "o2"}
+    # each subtype's sat got only its own rows
+    zi = pipe.sat_table(Zorginstelling.Zorginstelling).current().collect()
+    assert [(r["org_id"], r["agb"]) for r in zi] == [("o1", "agb1")]
+    zv = pipe.sat_table(Zorgverzekeraar.Zorgverzekeraar).current().collect()
+    assert [(r["org_id"], r["nummer"]) for r in zv] == [("o2", "n2")]
+    # the shared Default sat (inherited by both subtypes) unioned both rows
+    d = pipe.sat_table(Organisatie.Default).current().collect()
+    assert {r["org_id"]: r["naam"] for r in d} == {
+        "o1": "Ziekenhuis A", "o2": "Verzekeraar B"
+    }
