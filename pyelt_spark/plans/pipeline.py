@@ -120,6 +120,12 @@ class TranscriptVault:
         ]
         sat_merge = replace(self.sat_merge, payload_cols=payload_cols)
 
+        # NOTE (measured at 16M events, pinned local[8]): caching the batch
+        # so the three merges share one materialization is a LOSS (153 s →
+        # 174 s replay) — the per-table parquet re-scans are columnar and
+        # cheap, while a 4M-row deserialized cache costs fill time and GC
+        # pressure. Keep the three scans.
+
         # hub/link are registries of every key EVER seen upserting — they feed
         # from raw upsert events (a turn created and deleted inside one batch
         # still registers its conversation); the sat merge dedups internally
