@@ -135,11 +135,16 @@ class Pipe:
         op_col: str | None = "op",
         ts_col: str = "ts",
         source_system: str = "events",
+        mor: bool = False,
     ):
         self.spark = spark
         self.root = root
         self.mappings = mappings
         self.num_buckets = num_buckets
+        # merge-on-read sat heads: appends + read-time collapse instead of
+        # copy-on-write rewrites — the dense-update-batch mode (see
+        # operators/scd2.Scd2Table)
+        self.mor = mor
         self.order_by = order_by or ["seq"]
         self.op_col = op_col
         self.ts_col = ts_col
@@ -179,7 +184,8 @@ class Pipe:
             if name in self.sats:
                 continue
             self.sats[name] = Scd2Table(
-                self.spark, os.path.join(self.root, name), self.num_buckets
+                self.spark, os.path.join(self.root, name), self.num_buckets,
+                mor=self.mor,
             )
             self.sat_merges[name] = Scd2Merge(
                 business_keys=list(owner.__bk__) + sat.grain_cols(),
@@ -528,6 +534,8 @@ class Pipe:
             last = t.last_commit()
             if last and any(len(d) > max_dirs_per_bucket for d in last.buckets.values()):
                 t.compact(max_versions_per_bucket=max_dirs_per_bucket)
+        for s in self.sats.values():
+            s.compact_head(max_dirs_per_bucket=max_dirs_per_bucket)
 
     def replay(
         self,

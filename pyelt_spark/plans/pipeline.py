@@ -70,7 +70,8 @@ class TranscriptVault:
     payload evolution from unseen event columns) and the tuned three-way
     concurrent submit the benchmark exercises."""
 
-    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32):
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = 32,
+                 mor: bool = False):
         self.spark = spark
         self.root = root
         self.pipe = Pipe(
@@ -83,6 +84,7 @@ class TranscriptVault:
                 ),
             ],
             num_buckets=num_buckets,
+            mor=mor,
         )
         self.hub = self.pipe.hub_table(Conversation)
         self.sat = self.pipe.sat_table(Conversation.Turn)
@@ -166,6 +168,7 @@ class TranscriptVault:
             last = t.last_commit()
             if last and any(len(d) > max_dirs_per_bucket for d in last.buckets.values()):
                 t.compact(max_versions_per_bucket=max_dirs_per_bucket)
+        self.sat.compact_head(max_dirs_per_bucket=max_dirs_per_bucket)
 
     def replay(self, events: DataFrame, batch_col: str = "batch_id") -> list[dict]:
         """Replay a full change stream batch-by-batch in batch order."""
