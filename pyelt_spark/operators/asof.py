@@ -35,7 +35,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     allow_exact: bool = True,
-    suffix: str = "",
+    suffix: str = "_right",
 ) -> DataFrame:
     """For each left row, attach the most recent right row per ``keys`` with
     ``right_ts <= left_ts`` (or strictly ``<`` when ``allow_exact=False``).

@@ -196,11 +196,14 @@ class LinkReference:
 
     def __init__(self, entity: type[HubEntity], name: str = "", key_cols: list[str] | None = None):
         self.entity = entity
+        self._explicit_name = bool(name)
         self.name = name or camel_to_snake(entity.__name__)
         self.key_cols = key_cols or list(entity.__bk__)
 
     def __set_name__(self, owner, name):
-        if not self.__dict__.get("_explicit_name"):
+        # the attribute name is the leg name UNLESS the declaration named
+        # the leg explicitly (LinkReference(Patient, name="subject"))
+        if not self._explicit_name:
             self.name = camel_to_snake(name)
 
 

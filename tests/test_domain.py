@@ -467,3 +467,17 @@ def test_two_mappings_one_hub_union(spark, tmp_path):
     assert {r["org_id"]: r["naam"] for r in d} == {
         "o1": "Ziekenhuis A", "o2": "Verzekeraar B"
     }
+
+
+def test_link_reference_explicit_name_survives_class_binding():
+    class A(HubEntity):
+        __bk__ = ["a_id"]
+
+    class L(LinkEntity):
+        class Link(Link):
+            subject = LinkReference(A, name="patient_subject")
+            other = LinkReference(A)
+
+    refs = L.__link__.cls_get_link_refs()
+    assert refs["subject"].name == "patient_subject"  # explicit name kept
+    assert refs["other"].name == "other"              # attribute name used
