@@ -63,6 +63,11 @@ class HubMerge:
         # group on the hash key itself: the aggregate's output partitioning
         # feeds the anti-join below with no second exchange (business-key
         # columns ride along as min() over equal values)
+        # `_hub_type` input column: a per-row discriminator injected by the
+        # caller (subtype entities sharing one hub — HubEntityMetaClass
+        # subtype branch, dv_metaclasses.py:116 + etl.py:414-417 where the
+        # mapping's target type overrides the static hub type)
+        has_row_type = "_hub_type" in batch.columns
         keys = (
             batch.filter(
                 F.coalesce(*[F.col(c).cast("string") for c in self.business_keys]).isNotNull()
@@ -73,6 +78,7 @@ class HubMerge:
                 F.min(F.col(self.ts_col).cast("timestamp")).alias("_first_ts"),
                 *[F.min(c).alias(c) for c in self.business_keys],
                 *[F.min(c).alias(c) for c in self.carry_cols],
+                *([F.min("_hub_type").alias("_hub_type")] if has_row_type else []),
             )
             .select(
                 F.col(self.key_col),
@@ -83,7 +89,11 @@ class HubMerge:
                 (
                     F.col("type")
                     if "type" in self.business_keys
-                    else F.lit(self.hub_type)
+                    else (
+                        F.coalesce(F.col("_hub_type"), F.lit(self.hub_type))
+                        if has_row_type
+                        else F.lit(self.hub_type)
+                    )
                 ).alias("type"),
                 business_key(*self.business_keys).alias("bk"),
                 *[F.col(c) for c in self.business_keys if c != "type"],
@@ -94,13 +104,14 @@ class HubMerge:
                 F.lit(self.source_system).alias("_source_system"),
             )
             .withColumn(BUCKET_COL, bucket_expr(self.key_col, table.num_buckets))
-            .persist()
         )
-        affected = (
-            [int(b) for b in affected_buckets]
-            if affected_buckets is not None
-            else [r[0] for r in keys.select(BUCKET_COL).distinct().collect()]
-        )
+        if affected_buckets is not None:
+            affected = [int(b) for b in affected_buckets]
+        else:
+            # no precomputed superset: one discovery job (replay loops
+            # precompute this for every batch up front)
+            keys = keys.persist()
+            affected = [r[0] for r in keys.select(BUCKET_COL).distinct().collect()]
         first_load = table.last_commit() is None or not table.last_commit().buckets
         if first_load:
             fresh = keys
@@ -110,26 +121,29 @@ class HubMerge:
             state = table.read(buckets=affected)
             fresh = keys.join(
                 state.select(F.col(self.key_col)), self.key_col, "left_anti"
-            ).persist()
-        per_bucket = fresh.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
-        n_new = sum(r["n"] for r in per_bucket)
-        write_buckets = affected if first_load else sorted(r[BUCKET_COL] for r in per_bucket)
+            )
+        # ONE Spark job per hub merge: stage the new keys' files, then
+        # derive new_keys/buckets from the staged footers (metadata only)
+        # and publish the manifest — no pre-write count collect blocks the
+        # write, and the batch's only driver-blocking points are the stage
+        # wait and the manifest rename
+        staged = table.stage(fresh, affected)
         metrics = {
             "batch_id": batch_id,
-            "new_keys": n_new,
+            "new_keys": sum(staged["rows_per_bucket"].values()),
             "buckets_read": sorted(affected),
-            "buckets_written": sorted(write_buckets),
+            "buckets_written": sorted(staged["written_buckets"]),
         }
         table.commit(
-            fresh if n_new or first_load else None,
-            affected_buckets=write_buckets,
+            None,
+            affected_buckets=affected,
             batch_id=batch_id,
             metrics=metrics,
             mode="append",
+            staged=staged,
         )
-        keys.unpersist()
-        if not first_load:
-            fresh.unpersist()
+        if affected_buckets is None:
+            keys.unpersist()
         return metrics
 
 

@@ -328,45 +328,17 @@ class Scd2Merge:
             .otherwise(F.lit("insert")),
         ).persist()
 
-        # 4. ONE aggregation drives verdict counts, write-bucket discovery
-        #    and per-bucket lineage
-        vc = j.groupBy("_verdict", BUCKET_COL).agg(F.count("*").alias("n")).collect()
-        metrics_rows: dict[str, int] = {}
-        for r in vc:
-            metrics_rows[r["_verdict"]] = metrics_rows.get(r["_verdict"], 0) + r["n"]
-        write_buckets = sorted(
-            {r[BUCKET_COL] for r in vc if r["_verdict"] not in ("noop", "stale")}
-        )
-        metrics = {
-            "batch_id": batch_id,
-            "deduped_keys": sum(metrics_rows.values()),
-            "inserted": metrics_rows.get("insert", 0) + metrics_rows.get("reinsert", 0),
-            "updated": metrics_rows.get("update", 0),
-            "deleted": metrics_rows.get("delete", 0),
-            "unchanged": metrics_rows.get("noop", 0) + metrics_rows.get("bump", 0),
-            "stale": metrics_rows.get("stale", 0),
-            "buckets_read": sorted(affected),
-            "buckets_written": write_buckets,
-            "batch_keys_per_bucket": {
-                str(b): sum(r["n"] for r in vc if r[BUCKET_COL] == b)
-                for b in {r[BUCKET_COL] for r in vc}
-            },
-            "lineage": lineage or {},
-        }
-
         def _cleanup():
             batch.unpersist()
             j.unpersist()
             if head_state is not None:
                 head_state.unpersist()
 
-        # 5. new head versions (insert / update / reinsert) — defined before
-        #    the empty-write branch so a first batch that writes nothing
-        #    (e.g. all 'D' events on an empty table) can still bootstrap the
-        #    head schema instead of crash-looping on redelivery
+        # 4. new head versions (insert / update / reinsert) — no bucket
+        #    filter: a changed row's bucket is by definition a written
+        #    bucket, and the write scope below is the affected superset
         new_versions = (
             j.filter(F.col("_verdict").isin("insert", "update", "reinsert"))
-            .filter(F.col(BUCKET_COL).isin(write_buckets))
             .select(
                 F.col(s.key),
                 *[F.col(c) for c in self.business_keys],
@@ -394,27 +366,90 @@ class Scd2Merge:
                 return df.withColumn(MOR_CV, F.lit(batch_id).cast("long"))
             return df
 
-        if not write_buckets:
-            if table.head.last_commit() is None:
-                # first batch produced nothing writable (all-'D'/noop): pin
-                # the head schema so this bookkeeping commit — and every
-                # later read — has one (ADVICE r1: streaming redelivery of
-                # such a batch crash-looped on the no-schema ValueError)
-                table.head.init_schema(_stamp(new_versions).schema, recipe=recipe)
-            table.head.commit(None, [], batch_id, recipe=recipe, metrics=metrics)
-            _cleanup()
-            return metrics
+        # 5. stage data files + verdict metrics CONCURRENTLY — the metrics
+        #    aggregation races the stage jobs over the shared persisted
+        #    join (block-level cache locking: each partition is computed
+        #    once, late arrivals read cache), so no driver aggregation
+        #    blocks the write path (VERDICT r2 #1; was: a pre-write
+        #    groupBy().collect() serialized ahead of both stage jobs)
+        from concurrent.futures import ThreadPoolExecutor
 
-        if head_state is None:
-            table.head.commit(
-                _stamp(new_versions), write_buckets, batch_id,
-                recipe=recipe, metrics=metrics,
-                mode="append" if table.mor else "overwrite",
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_vc = pool.submit(
+                j.groupBy("_verdict", BUCKET_COL).agg(F.count("*").alias("n")).collect
             )
-            _cleanup()
-            return metrics
+            if head_state is None:
+                # first load: stage the whole batch's head in one write job
+                staged_head = table.head.stage(_stamp(new_versions), affected)
+                staged_hist = None
+            else:
+                staged_head, staged_hist = self._stage_rewrite(
+                    table, j, head_state, new_versions, batch_id, affected, seq_expr
+                )
+            vc = f_vc.result()
+        metrics_rows: dict[str, int] = {}
+        for r in vc:
+            metrics_rows[r["_verdict"]] = metrics_rows.get(r["_verdict"], 0) + r["n"]
+        metrics = {
+            "batch_id": batch_id,
+            "deduped_keys": sum(metrics_rows.values()),
+            "inserted": metrics_rows.get("insert", 0) + metrics_rows.get("reinsert", 0),
+            "updated": metrics_rows.get("update", 0),
+            "deleted": metrics_rows.get("delete", 0),
+            "unchanged": metrics_rows.get("noop", 0) + metrics_rows.get("bump", 0),
+            "stale": metrics_rows.get("stale", 0),
+            "buckets_read": sorted(affected),
+            "buckets_written": sorted(staged_head["written_buckets"]),
+            "batch_keys_per_bucket": {
+                str(b): sum(r["n"] for r in vc if r[BUCKET_COL] == b)
+                for b in {r[BUCKET_COL] for r in vc}
+            },
+            "lineage": lineage or {},
+        }
 
-        # 6. per-key change directives for the head rewrite
+        # 6. publish manifests in crash-safe order: history append FIRST
+        #    (idempotent via its own batch log), head overwrite SECOND (the
+        #    authoritative "batch applied" marker). A crash between stage
+        #    and publish leaves only invisible unpublished files.
+        if staged_hist is not None and staged_hist["written_buckets"]:
+            table.hist.commit(
+                None,
+                sorted(staged_hist["written_buckets"]),
+                batch_id,
+                metrics={"closed_rows_appended": True},
+                mode="append",
+                staged=staged_hist,
+            )
+        table.head.commit(
+            None,
+            affected,
+            batch_id,
+            recipe=recipe,
+            metrics=metrics,
+            mode="append" if table.mor else "overwrite",
+            staged=staged_head,
+        )
+        _cleanup()
+        return metrics
+
+    def _stage_rewrite(
+        self,
+        table: Scd2Table,
+        j: DataFrame,
+        head_state: DataFrame,
+        new_versions: DataFrame,
+        batch_id: int,
+        affected: list[int],
+        seq_expr,
+    ) -> tuple[dict, dict | None]:
+        """Build the head-rewrite + history frames and stage BOTH tables'
+        data files concurrently (two overlapping Spark write jobs over the
+        shared cached verdict join; per-partition block locking means the
+        join is computed once). Nothing is published yet — the caller
+        publishes manifests in crash-safe order after deriving metrics."""
+        s = self.sys
+
+        # per-key change directives for the head rewrite
         chg = j.filter(
             F.col("_verdict").isin("update", "delete", "bump", "reinsert")
         ).select(
@@ -423,7 +458,7 @@ class Scd2Merge:
             F.col(self.ts_col).cast("timestamp").alias("_c_ts"),
             seq_expr.alias("_c_seq"),
         )
-        hs = head_state.filter(F.col(BUCKET_COL).isin(write_buckets))
+        hs = head_state
         hj = hs.join(chg, hs[s.key] == chg["_c_key"], "left")
 
         # closed rows leave the head for the append-only history:
@@ -492,53 +527,24 @@ class Scd2Merge:
 
         new_head = _align(kept).unionByName(new_versions)
         hist_rows = _align(to_hist)
-        head_mode = "append" if table.mor else "overwrite"
         if table.mor:
             # supersession stamp: reads keep each key's max-_cv row
             new_head = new_head.withColumn(MOR_CV, F.lit(batch_id).cast("long"))
 
-        # 7. commit. DATA writes for hist and head overlap (both derive from
-        #    the persisted verdict join; two concurrent Spark jobs), then the
-        #    MANIFESTS publish strictly in order: history append FIRST
-        #    (idempotent via its own batch log), head overwrite SECOND (the
-        #    authoritative "batch applied" marker). A crash anywhere —
-        #    including after either stage, which leaves only invisible
-        #    unpublished files — replays cleanly (hist skips, head redoes).
-        n_closing = metrics_rows.get("update", 0) + metrics_rows.get("reinsert", 0)
-        hist_buckets = sorted(
-            {r[BUCKET_COL] for r in vc if r["_verdict"] in ("update", "reinsert")}
-        )
-        do_hist = (
-            n_closing
-            and hist_buckets
-            and batch_id not in table.hist.committed_batch_ids()
-        )
-        if do_hist:
+        # stage both tables' data files concurrently. A resumed torn batch
+        # whose history append already committed skips the hist stage.
+        hist_needed = batch_id not in table.hist.committed_batch_ids()
+        if hist_needed:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:
-                f_hist = pool.submit(table.hist.stage, hist_rows, hist_buckets)
-                f_head = pool.submit(table.head.stage, new_head, write_buckets)
+                f_hist = pool.submit(table.hist.stage, hist_rows, affected)
+                f_head = pool.submit(table.head.stage, new_head, affected)
                 staged_hist, staged_head = f_hist.result(), f_head.result()
-            table.hist.commit(
-                None,
-                hist_buckets,
-                batch_id,
-                metrics={"closed_rows_appended": True},
-                mode="append",
-                staged=staged_hist,
-            )
-            table.head.commit(
-                None, write_buckets, batch_id, recipe=recipe, metrics=metrics,
-                mode=head_mode, staged=staged_head,
-            )
         else:
-            table.head.commit(
-                new_head, write_buckets, batch_id, recipe=recipe, metrics=metrics,
-                mode=head_mode,
-            )
-        _cleanup()
-        return metrics
+            staged_hist = None
+            staged_head = table.head.stage(new_head, affected)
+        return staged_head, staged_hist
 
 
 def snapshot_delete_events(

@@ -106,15 +106,19 @@ def quarantine_exceptions(
     if not first:
         seen = table.read().select("_exc_key")
         rows = rows.join(seen, "_exc_key", "left_anti")
-    per_bucket = rows.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
-    buckets = sorted(r[BUCKET_COL] for r in per_bucket)
-    n_new = sum(r["n"] for r in per_bucket)
-    metrics = {"batch_id": batch_id, "new_exceptions": n_new}
+    # ONE Spark job: stage, then derive the count from staged footers —
+    # no pre-write collect (same shape as HubMerge.apply_batch)
+    staged = table.stage(rows, list(range(table.num_buckets)))
+    metrics = {
+        "batch_id": batch_id,
+        "new_exceptions": sum(staged["rows_per_bucket"].values()),
+    }
     table.commit(
-        rows if (n_new or first) else None,
-        affected_buckets=buckets,
+        None,
+        affected_buckets=sorted(staged["written_buckets"]),
         batch_id=batch_id,
         metrics=metrics,
         mode="append",
+        staged=staged,
     )
     return metrics

@@ -157,7 +157,12 @@ class _HubEntityMeta(type):
         cls.__entity_owner__ = owner
         cls.__dbname__ = camel_to_snake(owner.__name__)
         cls.__hub_name__ = cls.__dbname__ + "_hub"
-        cls.__subtype__ = "" if direct else camel_to_snake(name)
+        # reference subtype string: dv_metaclasses.py:116 —
+        # name.lower().replace('entity','').replace('hub','') (NOT snake
+        # case: Zorginstelling → 'zorginstelling')
+        cls.__subtype__ = (
+            "" if direct else name.lower().replace("entity", "").replace("hub", "")
+        )
         # name this class's nested sats by convention
         for attr, sat in vars(cls).items():
             if isinstance(sat, type) and issubclass(sat, Sat):

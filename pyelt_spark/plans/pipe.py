@@ -136,6 +136,7 @@ class Pipe:
         ts_col: str = "ts",
         source_system: str = "events",
         mor: bool = False,
+        validations: list[Any] | None = None,
     ):
         self.spark = spark
         self.root = root
@@ -149,6 +150,16 @@ class Pipe:
         self.op_col = op_col
         self.ts_col = ts_col
         self.source_system = source_system
+        # declared row validations (RowCondition / DuplicateKeys), run as a
+        # pipeline stage before any merge — pipe.validations analog
+        # (reference pipeline.py:675-679; invalid rows quarantined and
+        # excluded from the DV, test04_validations.py:47-53)
+        self.validations: list[Any] = list(validations or [])
+        self._exceptions: LakeTable | None = None
+        # run_before_* / run_after_* hooks (reference pipeline.py:554-555,
+        # :663-664, :680-683): callables (pipe, batch, batch_id) fired at
+        # each part boundary. Keys: "before_sor", "after_hubs", ...
+        self.hooks: dict[str, list[Callable[["Pipe", DataFrame | None, int], None]]] = {}
 
         self.hubs: "OrderedDict[type[HubEntity], LakeTable]" = OrderedDict()
         self.hub_merges: dict[type[HubEntity], HubMerge] = {}
@@ -238,6 +249,138 @@ class Pipe:
                 self.spark, os.path.join(self.root, f"valueset_{name}"), self.num_buckets
             )
 
+    # ---------------------------------------------------------------- hooks
+
+    def add_hook(self, point: str, func: Callable) -> None:
+        """Register a part-boundary hook: ``point`` is ``before_<part>`` or
+        ``after_<part>`` (parts: sor valuesets hubs views links viewlinks).
+        Reference: register via run_before_sor/run_after_sor lists
+        (pipeline.py:616-625); here every part has both boundaries."""
+        part = point.split("_", 1)[-1]
+        if not point.split("_", 1)[0] in ("before", "after") or part not in ALL_PARTS:
+            raise ValueError(f"unknown hook point {point!r}")
+        self.hooks.setdefault(point, []).append(func)
+
+    def _fire(self, point: str, batch: DataFrame | None, batch_id: int) -> None:
+        for fn in self.hooks.get(point, []):
+            fn(self, batch, batch_id)
+
+    # ------------------------------------------------------------ runs log
+
+    def _runs_dir(self) -> str:
+        d = os.path.join(self.root, "_runs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _runs_start(self, batch_id: int, parts: list[str]) -> str:
+        """Single-pane run registry — the reference's one ``sys.runs`` row
+        per run spanning ALL tables (pipeline.py:259-285, dwh.py:115-147).
+        A 'running' record is written BEFORE any part; ``_runs_finish``
+        rewrites it with the per-table metrics rollup. A crash mid-run
+        leaves the record status='running' — torn-run forensics in one
+        file instead of N table manifests. Re-running a batch appends a
+        new attempt (reference: same-day runid +0.01)."""
+        import datetime as _dt
+        import json as _json
+
+        from pyelt_spark import __version__
+
+        d = self._runs_dir()
+        attempt = sum(
+            1 for n in os.listdir(d) if n.startswith(f"{batch_id:012d}_")
+        )
+        path = os.path.join(d, f"{batch_id:012d}_{attempt:03d}.json")
+        rec = {
+            "run_id": batch_id,
+            "attempt": attempt,
+            "parts": list(parts),
+            "status": "running",
+            "started": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "finished": None,
+            "engine_version": __version__,
+            "tables": {},
+        }
+        with open(path, "w") as f:
+            _json.dump(rec, f)
+        return path
+
+    def _runs_finish(self, path: str, out: dict[str, Any]) -> None:
+        import datetime as _dt
+        import json as _json
+
+        with open(path) as f:
+            rec = _json.load(f)
+        rec["status"] = "finished"
+        rec["finished"] = _dt.datetime.now(_dt.timezone.utc).isoformat()
+        rec["tables"] = {
+            k: v for k, v in out.items() if isinstance(v, dict) and k != "lineage"
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(rec, f)
+        os.replace(tmp, path)
+
+    def runs_log(self) -> list[dict]:
+        """All run records, oldest first (sys.runs SELECT analog)."""
+        import json as _json
+
+        d = self._runs_dir()
+        out = []
+        for n in sorted(os.listdir(d)):
+            if n.endswith(".json"):
+                with open(os.path.join(d, n)) as f:
+                    out.append(_json.load(f))
+        return out
+
+    # ----------------------------------------------------------- validation
+
+    def exceptions_table(self) -> LakeTable:
+        """Quarantine table for invalid rows (reference ``_exceptions``,
+        ddl.py:235-260) — one per pipe, lazily created."""
+        if self._exceptions is None:
+            self._exceptions = LakeTable(
+                self.spark, os.path.join(self.root, "_exceptions"), self.num_buckets
+            )
+        return self._exceptions
+
+    def _validate_sor(
+        self, batch: DataFrame, batch_id: int, out: dict[str, Any]
+    ) -> DataFrame:
+        """Run declared row validations as a pipeline stage: invalid rows
+        are quarantined into the exceptions table and EXCLUDED from every
+        merge (reference etl.py:326-336 auto-invoke + the test04 contract
+        that invalid rows never reach the DV)."""
+        from pyelt_spark.operators.validate import (
+            MSG_COL,
+            VALID_COL,
+            RowRule,
+            apply_rules,
+            mark_duplicate_keys,
+            quarantine_exceptions,
+            split_valid,
+        )
+        from pyelt_spark.plans.validations import DuplicateKeys, RowCondition
+
+        rules = [
+            RowRule(F.expr(v.condition), v.message)
+            for v in self.validations
+            if isinstance(v, RowCondition)
+        ]
+        staged = apply_rules(batch, rules)
+        for v in self.validations:
+            if isinstance(v, DuplicateKeys):
+                staged = mark_duplicate_keys(staged, list(v.keys))
+        valid, invalid = split_valid(staged)
+        key_cols = []
+        for m in self.mappings:
+            if isinstance(m, SorToEntityMapping):
+                key_cols = list(m.entity.__entity_owner__.__bk__)
+                break
+        out["exceptions"] = quarantine_exceptions(
+            self.exceptions_table(), invalid, batch_id, key_cols
+        )
+        return valid.drop(VALID_COL, MSG_COL)
+
     # ---------------------------------------------------------------- parts
 
     def _project(self, batch: DataFrame, field_map: dict[str, str], flt: str | None) -> DataFrame:
@@ -268,14 +411,22 @@ class Pipe:
         parts = ALL_PARTS if parts is None else parts
         self._affected = affected or {}
         out: dict[str, Any] = {"batch_id": batch_id, "parts": list(parts)}
+        run_rec = self._runs_start(batch_id, parts)
         staged = batch
 
         if "sor" in parts and batch is not None:
+            self._fire("before_sor", batch, batch_id)
             # staging is declarative: mappings project/filter lazily off the
-            # one batch; nothing materializes until a merge runs
+            # one batch; nothing materializes until a merge runs. Declared
+            # row validations ARE a stage here: invalid rows are quarantined
+            # and the merges below only ever see the valid remainder.
             staged = batch
+            if self.validations:
+                staged = self._validate_sor(staged, batch_id, out)
+            self._fire("after_sor", staged, batch_id)
 
         if "valuesets" in parts and staged is not None:
+            self._fire("before_valuesets", staged, batch_id)
             for m in self.mappings:
                 if isinstance(m, SorToValueSetMapping):
                     vs = (
@@ -298,8 +449,10 @@ class Pipe:
                     out[f"valueset_{m.valueset_name}"] = merge.apply_batch(
                         self.valuesets[m.valueset_name], vs, batch_id
                     )
+            self._fire("after_valuesets", staged, batch_id)
 
         if "hubs" in parts and staged is not None:
+            self._fire("before_hubs", staged, batch_id)
             # N mappings may feed ONE table (two source shapes into one
             # entity, or subtype entities sharing a hub): group by target
             # and UNION the projections — per-table tables are single-writer
@@ -311,8 +464,10 @@ class Pipe:
                 if isinstance(m, SorToEntityMapping)
             ]
             out.update(self._run_jobs(self._grouped_entity_jobs(inputs, batch_id, lineage)))
+            self._fire("after_hubs", staged, batch_id)
 
         if "views" in parts:
+            self._fire("before_views", staged, batch_id)
             # precomputed buckets describe the SOR batch, not view output —
             # view promotions always discover their own buckets
             sor_affected, self._affected = self._affected, {}
@@ -326,8 +481,10 @@ class Pipe:
                     self._run_jobs(self._grouped_entity_jobs(inputs, batch_id, lineage))
                 )
             self._affected = sor_affected
+            self._fire("after_views", staged, batch_id)
 
         if "links" in parts and staged is not None:
+            self._fire("before_links", staged, batch_id)
             link_evs: dict = {}
             for m in self.mappings:
                 if not isinstance(m, SorToLinkMapping):
@@ -337,8 +494,10 @@ class Pipe:
                     self._link_input(m.link, ev, m.type_expr)
                 )
             out.update(self._run_jobs(self._link_jobs(link_evs, batch_id)))
+            self._fire("after_links", staged, batch_id)
 
         if "viewlinks" in parts:
+            self._fire("before_viewlinks", staged, batch_id)
             sor_affected, self._affected = self._affected, {}
             link_evs = {}
             for m in self.mappings:
@@ -349,7 +508,9 @@ class Pipe:
                     )
             out.update(self._run_jobs(self._link_jobs(link_evs, batch_id)))
             self._affected = sor_affected
+            self._fire("after_viewlinks", staged, batch_id)
 
+        self._runs_finish(run_rec, out)
         return out
 
     # ----------------------------------------------------------------- jobs
@@ -364,7 +525,15 @@ class Pipe:
         """One mapping's contribution: (hub owner, upsert frame) plus
         per-sat (name, keyed frame, snapshot?) inputs."""
         owner = entity.__entity_owner__
-        hub_input = (owner, self._upserts(ev))
+        hub_ev = self._upserts(ev)
+        if entity.__subtype__:
+            # subtype entity sharing the owner's hub: its rows register in
+            # the SHARED hub with type=<subtype> so downstream queries can
+            # tell subtypes apart (HubEntityMetaClass subtype branch,
+            # dv_metaclasses.py:116; hub insert etl.py:414-417 where the
+            # mapping's target type overrides the static hub type)
+            hub_ev = hub_ev.withColumn("_hub_type", F.lit(entity.__subtype__))
+        hub_input = (owner, hub_ev)
         sat_inputs: list[tuple[str, DataFrame, bool]] = []
         wanted = entity.__sats__ if sat_names is None else {
             n: s for n, s in entity.__sats__.items() if n in sat_names

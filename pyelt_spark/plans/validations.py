@@ -5,6 +5,8 @@ actionable messages BEFORE any data moves."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 from pyspark.sql import types as T
 
 from pyelt_spark.operators.scd2 import Scd2Merge
@@ -12,6 +14,35 @@ from pyelt_spark.operators.scd2 import Scd2Merge
 
 class ModelValidationError(ValueError):
     pass
+
+
+# --------------------------------------------------------------------------
+# declared ROW validations — run by Pipe.run as a pipeline stage, the
+# reference's pipe.validations list (pyelt/pipeline.py:675-679 auto-invoke;
+# declaration surface pyelt/mappings/validations.py:44-76)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class RowCondition:
+    """SorValidation analog (validations.py:44-59, applied by
+    etl.py:373-388): rows where the SQL ``condition`` holds are INVALID —
+    they are quarantined and never reach the vault merges."""
+
+    condition: str
+    message: str
+
+
+@dataclass
+class DuplicateKeys:
+    """set_check_for_duplicate_keys analog (validations.py:50-59, applied
+    by etl.py:349-371): more than one row per (batch, keys) marks EVERY
+    row of the group invalid. Opt-in — a CDC change stream legitimately
+    carries several events per business key, so declare this only for
+    grains that must be unique per batch (e.g. key + sequence)."""
+
+    keys: list[str] = field(default_factory=list)
+    message: str = "duplicate key"
 
 
 def validate_merge_model(merge: Scd2Merge, event_schema: T.StructType) -> list[str]:

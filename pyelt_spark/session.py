@@ -43,6 +43,15 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # small-file write path: skip Hadoop's local-FS shadow checksum
+        # files (.crc) and use the v2 commit algorithm (per-task rename,
+        # no serial job-commit move). A microbatch commit writes one small
+        # parquet per touched bucket, so per-file fixed costs ARE the
+        # streaming-latency floor; on a real cluster the equivalents are
+        # the S3A/magic committer and Iceberg's direct-to-final writes.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

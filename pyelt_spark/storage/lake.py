@@ -54,6 +54,20 @@ BUCKET_COL = "_bucket"
 _PART_COL = "_bucket_p"  # duplicated partition dir column (partitionBy drops it)
 
 
+def _footer_row_count(d: str) -> int:
+    """Row count of a staged bucket dir from parquet footers — metadata
+    only, no data read. This is how post-write merge metrics are derived
+    without a pre-write driver aggregation (the Iceberg analog is the
+    write job's per-file stats recorded in the snapshot summary)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+    return n
+
+
 def bucket_expr(key_col, num_buckets: int):
     """Deterministic bucket id for a key column (name or Column):
     pmod(murmur3, N) — the same shape as Iceberg's bucket transform.
@@ -206,14 +220,18 @@ class LakeTable:
             .parquet(out_dir)
         )
         written: set[int] = set()
+        rows_per_bucket: dict[int, int] = {}
         if os.path.isdir(out_dir):
             for name in os.listdir(out_dir):
                 if name.startswith(f"{_PART_COL}="):
-                    written.add(int(name.split("=", 1)[1]))
+                    b = int(name.split("=", 1)[1])
+                    written.add(b)
+                    rows_per_bucket[b] = _footer_row_count(os.path.join(out_dir, name))
         return {
             "version": version,
             "rel_dir": rel_dir,
             "written_buckets": written,
+            "rows_per_bucket": rows_per_bucket,
             "schema_json": json.loads(new_data.schema.json()),
         }
 

@@ -481,3 +481,164 @@ def test_link_reference_explicit_name_survives_class_binding():
     refs = L.__link__.cls_get_link_refs()
     assert refs["subject"].name == "patient_subject"  # explicit name kept
     assert refs["other"].name == "other"              # attribute name used
+
+
+# --------------------------------------------------------------------------
+# round-3 features: subtype hub typing, validation stage, hooks, runs log
+# --------------------------------------------------------------------------
+
+
+def test_subtype_string_matches_reference():
+    """dv_metaclasses.py:116 — name.lower().replace('entity','')
+    .replace('hub',''), NOT snake case."""
+    assert Zorginstelling.__subtype__ == "zorginstelling"
+    assert Zorgverzekeraar.__subtype__ == "zorgverzekeraar"
+    assert Organisatie.__subtype__ == ""
+
+
+def test_subtype_hub_rows_carry_discriminator(spark, tmp_path):
+    """Subtype entities share one hub but their rows must be typed
+    (HubEntityMetaClass subtype branch; hub insert etl.py:414-417) —
+    downstream queries tell Zorginstelling from Zorgverzekeraar by the
+    hub row's type, not by which sat happens to have rows."""
+    mappings = [
+        SorToEntityMapping(entity=Zorginstelling, filter="kind = 'zi'"),
+        SorToEntityMapping(entity=Zorgverzekeraar, filter="kind = 'zv'"),
+        SorToEntityMapping(entity=Organisatie, filter="kind = 'o'"),
+    ]
+    pipe = Pipe(spark, str(tmp_path / "dv"), mappings, num_buckets=4)
+    schema = "org_id string, kind string, naam string, agb string, nummer string, seq long, op string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            ("o1", "zi", "Ziekenhuis A", "agb1", None, 1, "U", TS),
+            ("o2", "zv", "Verzekeraar B", None, "n2", 2, "U", TS),
+            ("o3", "o", "Los orgaan", None, None, 3, "U", TS),
+        ],
+        schema,
+    )
+    pipe.run(b1, batch_id=1)
+    rows = {r["org_id"]: r["type"] for r in pipe.hub_table(Organisatie).read().collect()}
+    assert rows == {
+        "o1": "zorginstelling",
+        "o2": "zorgverzekeraar",
+        "o3": "organisatie",  # direct entity keeps the static hub type
+    }
+
+
+def test_pipe_validation_stage(spark, tmp_path):
+    """Declared row validations run as a Pipe stage (reference
+    pipeline.py:675-679): invalid rows are quarantined and NEVER reach
+    hub/sat — mirror of the reference's test04_validations.py:47-53
+    (4 source rows, 2 invalid → only valid ones in the DV)."""
+    from pyelt_spark.plans.validations import DuplicateKeys, RowCondition
+
+    pipe = Pipe(
+        spark,
+        str(tmp_path / "dv"),
+        [SorToEntityMapping(entity=Patient)],
+        num_buckets=4,
+        validations=[
+            RowCondition("postcode LIKE '0000%'", "Ongeldige postcode"),
+            RowCondition("geslacht NOT IN ('m', 'v')", "Ongeldig geslacht"),
+        ],
+    )
+    schema = (
+        "seq long, patient_id string, naam string, postcode string, "
+        "geslacht string, op string, ts timestamp"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "101", "Jan", "1111AB", "m", "U", TS),
+            (2, "102", "Piet", "0000XX", "m", "U", TS),   # invalid postcode
+            (3, "103", "Mies", "2222CD", "v", "U", TS),
+            (4, "104", "Truus", "3333EF", "x", "U", TS),  # invalid geslacht
+        ],
+        schema,
+    )
+    out = pipe.run(b1, batch_id=1)
+    assert out["exceptions"]["new_exceptions"] == 2
+    assert out["patient_hub"]["new_keys"] == 2
+    assert out["patient_sat"]["inserted"] == 2
+    ids = {r["patient_id"] for r in pipe.sat_table(Patient.Default).current().collect()}
+    assert ids == {"101", "103"}
+    exc = pipe.exceptions_table().read().collect()
+    msgs = sorted(r["_validation_msg"] for r in exc)
+    assert msgs == ["Ongeldig geslacht", "Ongeldige postcode"]
+    # idempotent rerun: nothing new lands anywhere
+    out2 = pipe.run(b1, batch_id=1)
+    assert out2["patient_sat"] == {"skipped_duplicate_batch": 1}
+    assert pipe.exceptions_table().read().count() == 2
+
+    # duplicate-key validation: same (key, seq) twice in one batch is an
+    # ambiguous fork -> whole group invalid (etl.py:349-371 semantics)
+    pipe2 = Pipe(
+        spark,
+        str(tmp_path / "dv2"),
+        [SorToEntityMapping(entity=Patient)],
+        num_buckets=4,
+        validations=[DuplicateKeys(keys=["patient_id", "seq"])],
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, "201", "Jan", "1111AB", "m", "U", TS),
+            (1, "201", "Johan", "1111AB", "m", "U", TS),  # same key+seq
+            (2, "202", "Piet", "2222CD", "m", "U", TS),
+        ],
+        schema,
+    )
+    out = pipe2.run(b2, batch_id=1)
+    assert out["exceptions"]["new_exceptions"] == 2
+    assert {r["patient_id"] for r in pipe2.sat_table(Patient.Default).current().collect()} == {"202"}
+
+
+def test_pipe_hooks_fire_in_part_order(spark, tmp_path):
+    """run_before_* / run_after_* hooks (pipeline.py:554-555, :663-664,
+    :680-683): callables per part boundary, fired in part order with
+    (pipe, batch, batch_id)."""
+    pipe = Pipe(spark, str(tmp_path / "dv"), _mappings(), num_buckets=4)
+    fired = []
+    for point in (
+        "before_sor", "after_sor", "before_hubs", "after_hubs",
+        "before_links", "after_links",
+    ):
+        pipe.add_hook(point, lambda p, b, bid, _pt=point: fired.append((_pt, bid)))
+    with pytest.raises(ValueError):
+        pipe.add_hook("before_nonsense", lambda p, b, bid: None)
+
+    b1 = spark.createDataFrame([_ev(1, "p1", "Jan", handeling="h1")], _SCHEMA)
+    pipe.run(b1, batch_id=7)
+    assert fired == [
+        ("before_sor", 7), ("after_sor", 7),
+        ("before_hubs", 7), ("after_hubs", 7),
+        ("before_links", 7), ("after_links", 7),
+    ]
+
+
+def test_pipe_runs_log(spark, tmp_path):
+    """Single-pane run registry (sys.runs analog, pipeline.py:259-285 +
+    dwh.py:115-147): one record per run attempt with start/finish and a
+    per-table metrics rollup; a torn run stays status='running'."""
+    pipe = Pipe(spark, str(tmp_path / "dv"), _mappings(), num_buckets=4)
+    b1 = spark.createDataFrame([_ev(1, "p1", "Jan", handeling="h1")], _SCHEMA)
+    pipe.run(b1, batch_id=1)
+    log = pipe.runs_log()
+    assert len(log) == 1
+    rec = log[0]
+    assert rec["run_id"] == 1 and rec["status"] == "finished"
+    assert rec["started"] <= rec["finished"]
+    assert rec["tables"]["patient_sat"]["inserted"] == 1
+    assert rec["tables"]["patient_hub"]["new_keys"] == 1
+    assert rec["engine_version"]
+
+    # torn run: crash before finish leaves a 'running' record
+    path = pipe._runs_start(batch_id=2, parts=["sor", "hubs"])
+    log = pipe.runs_log()
+    assert [r["status"] for r in log] == ["finished", "running"]
+    assert log[-1]["run_id"] == 2
+
+    # resume: the SAME batch id gets a new attempt, old record preserved
+    pipe.run(b1, batch_id=2)
+    log = pipe.runs_log()
+    assert [(r["run_id"], r["attempt"], r["status"]) for r in log] == [
+        (1, 0, "finished"), (2, 0, "running"), (2, 1, "finished"),
+    ]
