@@ -73,10 +73,17 @@ def asof_join(
         *keys, "_asof_ts", "_asof_side", "_asof_r", *extra
     ).unionByName(r_aligned)
     # at equal ts: with allow_exact the right row sorts first (side 0 < 1)
-    # and is visible to the left row; without, the left row sorts first
+    # and is visible to the left row; without, the left row sorts first.
+    # Two RIGHT rows tying on (keys, ts) would otherwise attach
+    # nondeterministically across runs/partitionings — xxhash64 of the
+    # packed right struct is the deterministic tiebreak (same rule as the
+    # dedup operators' payload-hash tiebreak; ADVICE r2): last() takes the
+    # max-hash version. Left rows hash a constant null struct, and their
+    # relative order never matters (they contribute only nulls the
+    # ignorenulls window skips).
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_asof_ts", "_asof_side")
+        .orderBy("_asof_ts", "_asof_side", F.xxhash64("_asof_r"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     resolved = unioned.withColumn("_asof_hit", F.last("_asof_r", ignorenulls=True).over(w))

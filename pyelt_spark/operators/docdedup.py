@@ -96,7 +96,8 @@ def _verify_jaccard(
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs (a,b) from exploded shingle rows:
     |A∩B| via a join on shingle equality, sizes via groupBy — no arrays
-    shipped through any join."""
+    shipped through any join. ``sh_rows`` may be pre-restricted to the
+    candidate docs (both ends of every pair must be present)."""
     sizes = sh_rows.groupBy("_id").agg(F.count("*").alias("_n"))
     A = sh_rows.select(F.col("_id").alias("a"), F.col("_s"))
     B = sh_rows.select(F.col("_id").alias("b"), F.col("_s"))
@@ -194,11 +195,19 @@ def minhash_lsh_pairs(
     bucket by band sub-signature, self-join buckets for candidates, verify
     with exact Jaccard. Output equals the exact pair set restricted to
     LSH-recalled candidates.
+
+    Shuffle discipline (the 100×-scale shape AND the sf0.1 wall): the
+    signature aggregate consumes RAW shingle rows — ``min()`` is
+    duplicate-insensitive, so the global ``distinct()`` shuffle is skipped
+    entirely — and exact verification re-shingles ONLY the candidate docs
+    (a semi-join of the corpus against the candidate id set, which AQE
+    broadcasts when small). The full shingle table crosses the wire once,
+    into the signature aggregate; the three verify joins touch candidate
+    docs only instead of re-shuffling the whole corpus's shingles twice.
     """
     assert num_perm <= 12
     rows_per_band = num_perm // bands
-    sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
-    hx = sh_rows.select(
+    hx = _shingle_rows_raw(df, id_col, text_col, n).select(
         "_id",
         F.concat(
             F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)
@@ -228,8 +237,15 @@ def minhash_lsh_pairs(
         .filter(F.col("x._id") < F.col("y._id"))
         .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
         .distinct()
+        .persist()
     )
-    return _verify_jaccard(cand, sh_rows, threshold)
+    cand_ids = (
+        cand.select(F.col("a").alias(id_col))
+        .union(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    sh_cand = _shingle_rows(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
+    return _verify_jaccard(cand, sh_cand, threshold)
 
 
 @pandas_udf(T.LongType())
@@ -380,10 +396,16 @@ def dedup_clusters(
     """
     e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
     edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().persist()
+    # localCheckpoint (not persist): each round's plan references the
+    # previous labels TWICE (union + changed-count join), so an uncut
+    # lineage doubles per round — 2^rounds plan nodes took the driver down
+    # on a long chain. Checkpointing truncates to the materialized RDD:
+    # O(1) plan per round. (On a multi-executor cluster prefer reliable
+    # checkpoint(dir) if executor loss mid-loop must be survivable.)
     labels = (
         edges.select(F.col("x").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -395,7 +417,7 @@ def dedup_clusters(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -404,10 +426,22 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
+    else:
+        # the loop exhausted max_iter with labels still moving: returning
+        # silently would hand one duplicate cluster several canonical_ids
+        # (and diverge from the exact recursive-CTE oracle). Fail loudly —
+        # a component whose DIAMETER exceeds max_iter is pathological for
+        # near-dup clusters (dense/star-like); callers raise max_iter
+        # deliberately, not by accident (ADVICE r2).
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} "
+            "label-propagation rounds (a component's diameter exceeds "
+            "max_iter); raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
@@ -462,7 +496,10 @@ def embedding_dup_pairs(
     from pyelt_spark.operators.similarity import _cell_sig
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_dup_pairs requires dim= (embedding width); the "
+            "hyperplane weights are embedded as plan literals"
+        )
     planes = bands * rows_per_band
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))

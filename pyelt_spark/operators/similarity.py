@@ -130,10 +130,14 @@ def ivf_topk(
     with ``multiprobe`` also every cell at Hamming distance 1 (flip each
     plane bit) — the classic recall/cost dial: probes × N/2^planes
     candidates per query instead of a full scan. Exact cosine + ranking
-    inside the probed cells. Pass ``dim`` explicitly where known — the
-    fallback costs a driver-side first()."""
+    inside the probed cells. ``dim`` (the embedding width) is required:
+    the hyperplane weights are plan LITERALS, and probing the data for the
+    width would cost a driver-blocking job before submit."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "ivf_topk requires dim= (embedding width); the hyperplane "
+            "weights are embedded as plan literals"
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_cv")
     )

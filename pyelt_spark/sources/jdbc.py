@@ -77,18 +77,26 @@ def hash_only_sql(
     dialect: str = "postgres",
 ) -> str:
     """(keys, _hash) extract with the digest computed AT THE SOURCE
-    (databases.py:119-141): only key + hash cross the wire."""
+    (databases.py:119-141): only key + hash cross the wire.
+
+    Deliberate divergence from the reference: fields are joined with an
+    explicit unit separator (U+001F) so a boundary shift like
+    ('ab','c')→('a','bc') changes the digest, and the Oracle branch
+    NVL-coalesces each field so one NULL doesn't null the whole concat —
+    the reference's databases.py concatenates bare fields, inheriting both
+    collision surfaces silently (ADVICE r2)."""
     fields = [c for c in columns if c not in set(ignore_fields or [])]
+    sep = "\x1f"  # unit separator: unambiguous field boundary
     if dialect == "postgres":
-        concat = "||".join(f"coalesce({c}::text, '')" for c in fields)
+        concat = f"||'{sep}'||".join(f"coalesce({c}::text, '')" for c in fields)
         h = f"md5({concat})"
     elif dialect == "sqlserver":
-        concat = "+".join(
+        concat = f"+'{sep}'+".join(
             f"rtrim(coalesce(convert(varchar(max), {c}), ''))" for c in fields
         )
         h = f"CONVERT(NVARCHAR(32), HashBytes('MD5', {concat}), 2)"
     else:  # oracle
-        concat = "||".join(fields)
+        concat = f"||'{sep}'||".join(f"NVL(TO_CHAR({c}), '')" for c in fields)
         h = (
             "RAWTOHEX(UTL_RAW.CAST_TO_RAW("
             f"sys.dbms_obfuscation_toolkit.md5(INPUT_STRING => {concat})))"

@@ -112,7 +112,7 @@ def test_cosine_topk_and_ivf(spark):
     # IVF probes only the query's cell: results are a subset of exact
     # ranking restricted to that cell, every hit's cosine must match the
     # exact score for the same (query, neighbor)
-    ivf = ivf_topk(corpus, queries, k=5, planes=2).collect()
+    ivf = ivf_topk(corpus, queries, k=5, planes=2, dim=8).collect()
     exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in rows}
     all_scores = {
         (r["query_id"], r["neighbor_id"]): r["cosine"]
@@ -161,8 +161,8 @@ def test_ivf_multiprobe_improves_recall(spark):
         got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
         return len(got & exact) / len(exact)
 
-    r1 = recall(ivf_topk(corpus, queries, k=5, planes=3))
-    rm = recall(ivf_topk(corpus, queries, k=5, planes=3, multiprobe=True))
+    r1 = recall(ivf_topk(corpus, queries, k=5, planes=3, dim=8))
+    rm = recall(ivf_topk(corpus, queries, k=5, planes=3, multiprobe=True, dim=8))
     assert rm >= r1                  # more probes never hurt recall
     assert rm >= 0.5                 # quantified floor at this scale
 
@@ -281,3 +281,51 @@ def test_asof_join_matches_naive_range_join(spark):
         .collect()
     }
     assert got == want | no_match
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A chain longer than max_iter hops must FAIL LOUDLY, not silently
+    return a cluster split across several canonical_ids (ADVICE r2 — the
+    exact recursive-CTE oracle computes the full closure, so a silent
+    partial answer would diverge from it)."""
+    import pytest as _pytest
+
+    from pyelt_spark.operators.docdedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=2)
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(chain, max_iter=10).collect()
+    }
+    assert out == {i: 0 for i in range(9)}
+
+
+def test_asof_join_tie_on_right_ts_is_deterministic(spark):
+    """Two right versions tying on (key, ts): the attached version must be
+    the deterministic max-xxhash64 one — identical across runs and
+    partitionings (ADVICE r2; mirrors the dedup operators' payload-hash
+    tiebreak)."""
+    from pyspark.sql import functions as FF
+
+    from pyelt_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 10, "v_a"), ("k", 10, "v_b")], "k string, vts long, val string"
+    )
+    left = spark.createDataFrame([("k", 15, 1)], "k string, fts long, fact_id long")
+    expected = (
+        right.select(FF.col("val"), FF.xxhash64(FF.struct("val")).alias("_h"))
+        .orderBy(FF.desc("_h"))
+        .first()["val"]
+    )
+    for extra_shuffle in (1, 7):
+        got = asof_join(
+            left.repartition(extra_shuffle),
+            right.repartition(extra_shuffle),
+            keys=["k"], left_ts="fts", right_ts="vts", right_cols=["val"],
+        ).collect()
+        assert [(r["fact_id"], r["val"]) for r in got] == [(1, expected)]

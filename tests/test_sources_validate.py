@@ -313,11 +313,15 @@ def test_jdbc_sql_generators():
     )
     pg = hash_only_sql("sor.patient", ["id"], ["id", "naam"], dialect="postgres")
     assert pg == (
-        "SELECT id, md5(coalesce(id::text, '')||coalesce(naam::text, '')) "
+        "SELECT id, md5(coalesce(id::text, '')||'\x1f'||coalesce(naam::text, '')) "
         "AS _hash FROM sor.patient"
     )
-    assert "HashBytes" in hash_only_sql("t", ["id"], ["id", "a"], dialect="sqlserver")
-    assert "UTL_RAW" in hash_only_sql("t", ["id"], ["id", "a"], dialect="oracle")
+    ms = hash_only_sql("t", ["id"], ["id", "a"], dialect="sqlserver")
+    assert "HashBytes" in ms and "+'\x1f'+" in ms
+    ora = hash_only_sql("t", ["id"], ["id", "a"], dialect="oracle")
+    # boundary separator + per-field NVL: ('ab','c') vs ('a','bc') must
+    # differ, and one NULL field must not null the whole digest (ADVICE r2)
+    assert "UTL_RAW" in ora and "||'\x1f'||" in ora and "NVL(TO_CHAR(a), '')" in ora
 
 
 def test_jdbc_parquet_standin(spark):
