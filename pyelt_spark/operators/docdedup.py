@@ -70,16 +70,27 @@ def _shingle_rows_raw(df: DataFrame, id_col: str, text_col: str, n: int) -> Data
     toks = F.split(normalized(text_col), " ")
     words = df.select(
         F.col(id_col).alias("_id"),
-        F.size(toks).alias("_sz"),
         F.posexplode(toks).alias("_p", "_w"),
     )
     w = Window.partitionBy("_id").orderBy("_p")
     shingle = F.concat_ws(
         " ", F.col("_w"), *[F.lead("_w", k).over(w) for k in range(1, n)]
     )
+    # completeness test from the WINDOW's own output (last lead non-null),
+    # not from a token count: a `size(split(normalized(text)))` column here
+    # gets inlined by CollapseProject into the post-explode filter and
+    # re-runs the regex normalization PER EXPLODED ROW (~50× per doc — it
+    # was 3 of dedup_minhash_lsh's 6 bench seconds at sf0.1). `_p = 0`
+    # keeps the one short shingle of a document with fewer than n words,
+    # matching slice()'s max(size-n,0) tail rule.
     return (
-        words.withColumn("_s", shingle)
-        .filter(F.col("_p") <= F.greatest(F.col("_sz") - n, F.lit(0)))
+        words.select(
+            "_id",
+            "_p",
+            shingle.alias("_s"),
+            F.lead("_w", n - 1).over(w).alias("_last"),
+        )
+        .filter((F.col("_p") == 0) | F.col("_last").isNotNull())
         .select("_id", "_s")
     )
 
@@ -196,28 +207,38 @@ def minhash_lsh_pairs(
     with exact Jaccard. Output equals the exact pair set restricted to
     LSH-recalled candidates.
 
-    Shuffle discipline (the 100×-scale shape AND the sf0.1 wall): the
-    signature aggregate consumes RAW shingle rows — ``min()`` is
-    duplicate-insensitive, so the global ``distinct()`` shuffle is skipped
-    entirely — and exact verification re-shingles ONLY the candidate docs
-    (a semi-join of the corpus against the candidate id set, which AQE
-    broadcasts when small). The full shingle table crosses the wire once,
-    into the signature aggregate; the three verify joins touch candidate
-    docs only instead of re-shuffling the whole corpus's shingles twice.
+    Shuffle discipline (the 100×-scale shape AND the sf0.1 wall — AQE runs
+    one materialization round per exchange, so exchange COUNT is latency):
+    ONE deduped (_id, _hx) lineage, cached, feeds everything downstream.
+    The window's hash(_id) exchange is the only full-table shuffle:
+    per-doc shingle dedup (groupBy _id,_hx), the signature aggregate
+    (groupBy _id — which also emits each doc's distinct-shingle COUNT, so
+    verification needs no separate sizes pass), and both verify join
+    inputs all reuse that partitioning. The shingle hash ``_hx`` IS the
+    shingle identity in verification (sha-256 injective in practice), so
+    shingle strings never cross a shuffle. Candidate pairs and the
+    verify-join intermediates are orders of magnitude smaller than the
+    corpus; AQE broadcasts them.
     """
     assert num_perm <= 12
     rows_per_band = num_perm // bands
-    hx = _shingle_rows_raw(df, id_col, text_col, n).select(
-        "_id",
-        F.concat(
-            F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)
-        ).alias("_hx"),
+    dist = (
+        _shingle_rows_raw(df, id_col, text_col, n)
+        .select(
+            "_id",
+            F.concat(
+                F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)
+            ).alias("_hx"),
+        )
+        .distinct()  # per-doc set semantics; no exchange (hash(_id) ⊆ keys)
+        .persist()
     )
-    sig = hx.groupBy("_id").agg(
+    sig = dist.groupBy("_id").agg(
         *[
             F.min(F.substring("_hx", 1 + 10 * i, 10)).alias(f"_m{i}")
             for i in range(num_perm)
-        ]
+        ],
+        F.count("*").alias("_n"),
     )
     band_cols = [
         F.struct(
@@ -231,21 +252,41 @@ def minhash_lsh_pairs(
     buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("_b")).select(
         "_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
     )
+    # NO distinct on candidates: a pair matching in k bands rides through
+    # the verify joins k times (k ≤ bands, a small constant) and collapses
+    # in the (a,b) aggregate — count_distinct(_hx) keeps |A∩B| exact under
+    # the duplication. This trades a bounded constant-factor join fan-out
+    # for eliminating a full exchange+AQE round over the candidate multiset.
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["_band", "_key"])
         .filter(F.col("x._id") < F.col("y._id"))
         .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-        .distinct()
-        .persist()
     )
-    cand_ids = (
-        cand.select(F.col("a").alias(id_col))
-        .union(cand.select(F.col("b").alias(id_col)))
-        .distinct()
+    A = dist.select(F.col("_id").alias("a"), "_hx")
+    B = dist.select(F.col("_id").alias("b"), "_hx")
+    common = (
+        cand.join(A, "a")
+        .join(B, ["b", "_hx"])
+        .groupBy("a", "b")
+        .agg(F.count_distinct("_hx").alias("_inter"))
     )
-    sh_cand = _shingle_rows(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n)
-    return _verify_jaccard(cand, sh_cand, threshold)
+    sizes = sig.select("_id", "_n")
+    sa = sizes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("jaccard"))
+    )
 
 
 @pandas_udf(T.LongType())
