@@ -8,8 +8,11 @@ SCD2 history) run against the vault that replay produced.
 
 Scaling-efficiency evidence (BASELINE.md north rule, sandbox protocol):
 ``python bench.py --scaling`` executes the identical merge-apply job at
-local[8] and local[32] on the same input and reports throughput at both
-plus efficiency = (T_8 / T_32) / 4.
+N=2 and 4N=8 pinned cores on the same input and reports throughput at
+both plus efficiency = (T_2 / T_8) / 4. ``SPARK_GRAFT_SCALING_EVENTS``
+sizes the input; ``SPARK_GRAFT_SCALING_CONCURRENT=1`` runs the legs
+concurrently on disjoint cores (see run_scaling for why that is NOT the
+default).
 """
 
 from __future__ import annotations
@@ -106,23 +109,37 @@ def run_scaling(sf_dir: str) -> dict:
         gen.stop()
 
     out = {"n_events_requested": n_events, "input": input_dir}
-    levels = (("2", "0-1"), ("8", "0-7"))
-    for cpus, cpuset in levels:
-        # each level runs in its own PINNED process: a level gets exactly
-        # its core budget for EVERYTHING (tasks, GC, IO threads) — the
-        # faithful analog of an executor's container cpu limit. Without
-        # pinning, local[N] quietly consumes >N cores of GC/IO and the
-        # comparison stops measuring parallelism.
-        import subprocess
+    # each level runs in its own PINNED process: a level gets exactly its
+    # core budget for EVERYTHING (tasks, GC, IO threads) — the faithful
+    # analog of an executor's container cpu limit. Without pinning,
+    # local[N] quietly consumes >N cores of GC/IO and the comparison stops
+    # measuring parallelism. Legs run one at a time by default.
+    # SPARK_GRAFT_SCALING_CONCURRENT=1 runs them concurrently on disjoint
+    # core sets (0-1 and 2-9) so both legs sample the same host-noise
+    # window — measured and REJECTED as the default: shared memory
+    # bandwidth starves the wide leg (8-core throughput dropped 73→64
+    # kev/s while the 2-core leg was unaffected), deflating the ratio by
+    # ~0.2 — a bias a real N-vs-4N two-cluster comparison does not have.
+    # Sequential legs + repeated pairs + per-leg minima is the protocol.
+    import subprocess
 
+    concurrent = bool(os.environ.get("SPARK_GRAFT_SCALING_CONCURRENT"))
+    levels = (("2", "0-1"), ("8", "2-9" if concurrent else "0-7"))
+    procs = []
+    for cpus, cpuset in levels:
         cmd = [
             sys.executable, os.path.abspath(__file__), "--scaling-worker", cpus, input_dir,
         ]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", cpuset] + cmd
         env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="16g", PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
-        res = subprocess.run(cmd, capture_output=True, text=True, env=env)
-        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+        p = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env)
+        procs.append((cpus, p))
+        if not concurrent:
+            p.wait()
+    for cpus, p in procs:
+        stdout, _ = p.communicate()
+        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
         out[f"local[{cpus}]"] = json.loads(line)
     t_n = out[f"local[{levels[0][0]}]"]["sec"]
     t_4n = out[f"local[{levels[1][0]}]"]["sec"]
