@@ -152,7 +152,19 @@ def run_scaling_worker(cpus: str, input_dir: str) -> None:
     from pyelt_spark.streaming.runner import MicrobatchRunner
 
     state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    spark = _fresh_spark(cpus, f"bench_scaling_{cpus}")
+    # shuffle partitions: 1/core measured fastest for this workload on the
+    # wide leg (144.6s vs 161s at 4/core and 172s at 2/core, 16M events,
+    # pinned 8 cores) — the merge shuffles are uniform enough that one
+    # task-per-core wave beats straggler-smoothing oversubscription, so
+    # task count stays proportional to the core budget on both legs.
+    ppc = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS_PER_CORE", "1"))
+    from pyelt_spark.session import get_session
+
+    spark = get_session(
+        f"bench_scaling_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(ppc * int(cpus), 8),
+    )
     ev = spark.read.parquet(input_dir)
     n = ev.count()
     root = tempfile.mkdtemp(prefix=f"scaling_vault_{cpus}_", dir=state_base)
