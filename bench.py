@@ -43,6 +43,11 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "asof_lineitem_status",
+    "dedup_clusters",
+    "decontaminate",
+    "doc_winnow_fingerprints",
+    "domain_orders_current",
 ]
 
 

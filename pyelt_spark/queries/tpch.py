@@ -51,7 +51,12 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_shipping_priority(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    # the filtered customer side is broadcast-sized at any SF (one market
+    # segment of a dim table); hint it explicitly rather than relying on
+    # AQE's runtime re-plan, matching q5/q14
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     return (

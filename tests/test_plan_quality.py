@@ -50,6 +50,17 @@ def test_small_dims_broadcast_not_shuffled(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q3_customer_side_broadcast(spark):
+    """q3 shape: the segment-filtered customer side is broadcast-sized at
+    any SF; the hint must be explicit (not AQE-dependent) so the plan is
+    right even before runtime stats exist."""
+    from pyelt_spark.entry_queries import q_shipping_priority
+
+    plan = _plan(q_shipping_priority(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_latest_per_key_has_partial_aggregation(spark):
     """The dedup aggregate must run a map-side partial pass BEFORE the
     exchange (this is what makes hot keys collapse pre-shuffle — the skew
