@@ -123,7 +123,11 @@ _PIPES: dict[str, Pipe] = {}
 def replayed_domain(spark: SparkSession, sf_dir: str) -> Pipe:
     """Replay the 3-batch stream through a fresh Pipe once per sf_dir."""
     if sf_dir not in _PIPES:
-        root = tempfile.mkdtemp(prefix="pyelt_spark_domain_")
+        # vault state on tmpfs when available (same policy as bench.py's
+        # transcript vault) — the sandbox's single disk otherwise
+        # serializes the concurrent bucket writes
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        root = tempfile.mkdtemp(prefix="pyelt_spark_domain_", dir=base)
         pipe = Pipe(spark, root, _mappings(), num_buckets=16)
         pipe.replay(_domain_events(spark, sf_dir))
         _PIPES[sf_dir] = pipe

@@ -101,26 +101,43 @@ def winnow_fingerprints(
     keep each window's minimum — a position-robust fingerprint SET that
     survives local edits. Returns distinct (id, fp) rows.
 
-    Relational dataflow: positions explode once, the k-gram hash is one
-    sha per position, the window minimum is a plain frame aggregate."""
+    Relational dataflow (and the CollapseProject trap): the obvious shape
+    — explode positions, then ``substring(normalized(text), pos, k)`` —
+    gets the full regex normalization inlined through the Generate and
+    re-run ONCE PER CHARACTER POSITION (~17 s of bench wall at sf0.1; the
+    same trap docdedup._shingle_rows_raw documents). Instead the
+    normalization runs once per doc inside the generator itself
+    (posexplode of the char array), each k-gram is rebuilt from window
+    ``lead`` chars — one exchange + one sort serve both the gram window
+    and the fingerprint min window — and the sha runs post-filter on
+    k-char strings, never on the whole document."""
     from pyspark.sql import Window
 
     norm = normalized(text_col)
-    base = df.select(
+    chars = F.split(norm, "")
+    # split("", "") is [] but the scheme fingerprints an empty doc as
+    # sha("") (substring(t, 1, k) of an empty string); keep one "" element
+    gen = F.when(F.size(chars) == 0, F.array(F.lit(""))).otherwise(chars)
+    base = df.select(F.col(id_col), F.posexplode(gen).alias("_pos", "_c"))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    gram = F.concat_ws("", F.col("_c"), *[F.lead("_c", i).over(win) for i in range(1, k)])
+    # completeness from the window's own output (minhash idiom): a full
+    # gram has its (k-1)th lead; _pos = 0 keeps the one short gram of a
+    # document shorter than k chars (concat_ws skips the null leads)
+    grams = base.select(
         F.col(id_col),
-        norm.alias("_t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - k + 1, F.lit(1)))
-        ).alias("_pos"),
-    )
-    h = base.select(
+        "_pos",
+        gram.alias("_g"),
+        F.lead("_c", k - 1).over(win).alias("_full"),
+    ).filter((F.col("_pos") == 0) | F.col("_full").isNotNull())
+    h = grams.select(
         id_col,
         "_pos",
-        F.substring(F.sha2(F.substring("_t", F.col("_pos"), F.lit(k)), 256), 1, 16).alias("_h"),
+        F.substring(F.sha2(F.col("_g").cast("binary"), 256), 1, 16).alias("_h"),
     )
-    win = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
+    fpwin = Window.partitionBy(id_col).orderBy("_pos").rowsBetween(0, w - 1)
     return (
-        h.withColumn("fp", F.min("_h").over(win))
+        h.withColumn("fp", F.min("_h").over(fpwin))
         .select(id_col, "fp")
         .distinct()
     )

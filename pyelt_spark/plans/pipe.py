@@ -580,8 +580,19 @@ class Pipe:
             return u
 
         aff = getattr(self, "_affected", {})
+
+        def _skip(name: str) -> bool:
+            # [] = the replay probe proved this batch feeds the table no
+            # rows (None = unknown → run the merge with self-discovery)
+            return aff.get(name) == []
+
         jobs: list[tuple[str, Callable[[], dict]]] = []
         for owner, frames in hub_evs.items():
+            if _skip(owner.__hub_name__):
+                jobs.append(
+                    (owner.__hub_name__, lambda b=batch_id: {"skipped_empty_batch": b})
+                )
+                continue
             jobs.append(
                 (
                     owner.__hub_name__,
@@ -606,6 +617,11 @@ class Pipe:
                     )
                 )
             else:
+                # NEVER skip a snapshot sat on an empty batch (above): an
+                # empty snapshot claims completeness and closes every row
+                if _skip(name):
+                    jobs.append((name, lambda b=batch_id: {"skipped_empty_batch": b}))
+                    continue
                 jobs.append(
                     (
                         name,
@@ -647,6 +663,11 @@ class Pipe:
             for f in frames[1:]:
                 u = u.unionByName(f, allowMissingColumns=True)
             aff = getattr(self, "_affected", {}).get(link_entity.__dbname__)
+            if aff == []:  # probe proved the batch feeds this link nothing
+                jobs.append(
+                    (link_entity.__dbname__, lambda b=batch_id: {"skipped_empty_batch": b})
+                )
+                continue
             jobs.append(
                 (
                     link_entity.__dbname__,
@@ -718,17 +739,34 @@ class Pipe:
         Like the transcript runner, ONE up-front job computes every batch's
         affected buckets for every sor-fed table (a superset per table —
         mapping filters are applied, null-key rows just widen the read), so
-        the per-batch merges skip their bucket-discovery collects."""
+        the per-batch merges skip their bucket-discovery collects.
+
+        The same probe doubles as an EMPTY-BATCH detector: a table whose
+        every feeding mapping was probed and whose probe found no buckets in
+        a batch provably has no input rows there (hash keys are never null,
+        so the probe is a superset), and its merge is skipped outright —
+        zero Spark jobs. In a real CDC fan-out most tables are untouched by
+        most microbatches, so this is the steady-state fast path, not an
+        edge case. ``events`` is persisted for the replay (every mapping's
+        projection and every batch filter re-reads it)."""
         from pyelt_spark.functions.hashing import hash_key
         from pyelt_spark.storage.lake import bucket_expr
 
         probe_frames = []
+        probed: set[str] = set()  # tables every feeding mapping probed
+        unknown: set[str] = set()  # tables some feeding mapping could NOT probe
+        own_persist = not (
+            events.storageLevel.useMemory or events.storageLevel.useDisk
+        )
+        if own_persist:
+            events = events.persist()
         for m in self.mappings:
             if isinstance(m, SorToEntityMapping):
                 ev = self._project(events, m.field_map, m.filter)
                 owner = m.entity.__entity_owner__
                 probes = []
                 if all(c in ev.columns for c in owner.__bk__):
+                    probed.add(owner.__hub_name__)
                     probes.append(
                         F.struct(
                             F.lit(owner.__hub_name__).alias("t"),
@@ -737,10 +775,17 @@ class Pipe:
                             ).alias("k"),
                         )
                     )
+                else:
+                    unknown.add(owner.__hub_name__)
                 for name in (m.sats or m.entity.__sats__):
                     mg = self.sat_merges[name]
                     if any(c not in ev.columns for c in mg.business_keys):
-                        continue  # no probe → that sat falls back to its own job
+                        # no probe — but a mapping missing the sat's grain
+                        # columns doesn't FEED that sat either
+                        # (_entity_inputs skips it), so probed-empty from
+                        # the other mappings still implies empty input
+                        continue
+                    probed.add(name)
                     probes.append(
                         F.struct(
                             F.lit(name).alias("t"),
@@ -762,7 +807,9 @@ class Pipe:
                 if issubclass(m.link.__link__, HybridLink):
                     ev = ev.withColumn("type", F.expr(m.type_expr or "'default'"))
                 if any(c not in ev.columns for c in mg.business_keys):
+                    unknown.add(m.link.__dbname__)
                     continue
+                probed.add(m.link.__dbname__)
                 probe = F.struct(
                     F.lit(m.link.__dbname__).alias("t"),
                     bucket_expr(
@@ -792,14 +839,26 @@ class Pipe:
         ids = [
             r[0] for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
         ]
-        out = [
-            self.run(
-                events.filter(F.col(batch_col) == b),
-                int(b),
-                parts=parts,
-                affected=affected.get(int(b)),
-            )
-            for b in ids
-        ]
+        # a fully-probed table with no probe hits in a batch has provably no
+        # input rows there: record the empty bucket list so the batch's
+        # merge for that table is skipped without any Spark job
+        fully_probed = probed - unknown
+        for b in ids:
+            slot = affected.setdefault(int(b), {})
+            for t in fully_probed:
+                slot.setdefault(t, [])
+        try:
+            out = [
+                self.run(
+                    events.filter(F.col(batch_col) == b),
+                    int(b),
+                    parts=parts,
+                    affected=affected.get(int(b)),
+                )
+                for b in ids
+            ]
+        finally:
+            if own_persist:
+                events.unpersist()
         self.maintain()
         return out

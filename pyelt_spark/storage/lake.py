@@ -199,7 +199,12 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writing
 
-    def stage(self, new_data: DataFrame, affected_buckets: list[int]) -> dict:
+    def stage(
+        self,
+        new_data: DataFrame,
+        affected_buckets: list[int],
+        repartition: bool = True,
+    ) -> dict:
         """Write the NEXT version's data files without publishing a manifest.
 
         Returns a staging handle for ``commit(..., staged=...)``. Lets a
@@ -207,18 +212,24 @@ class LakeTable:
         merge) while still publishing their manifests in crash-safe order —
         an unpublished stage dir is invisible (manifests are the source of
         truth) and simply overwritten on retry. Single-writer assumption,
-        same as commit."""
+        same as commit.
+
+        The pre-write exchange is deliberate and MEASURED: skipping it
+        (writing straight from the merge's key-hash partitioning) looks
+        like a saved shuffle but was 12.3 → 15.2 s on the sf0.1 replay in
+        a warm-vs-warm interleaved A/B — the multi-file bucket dirs it
+        leaves behind (3-5 files/bucket after 8 batches) make every
+        subsequent pruned head read slower, which compounds across
+        batches. One exchange per write keeps one file per bucket and the
+        read path flat."""
         last = self.last_commit()
         version = (last.version + 1) if last else 1
         rel_dir = os.path.join("data", f"v{version}")
         out_dir = os.path.join(self.path, rel_dir)
-        (
-            new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
-            .repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
-            .write.partitionBy(_PART_COL)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        df = new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
+        if repartition:
+            df = df.repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
+        df.write.partitionBy(_PART_COL).mode("overwrite").parquet(out_dir)
         written: set[int] = set()
         rows_per_bucket: dict[int, int] = {}
         if os.path.isdir(out_dir):
