@@ -138,24 +138,33 @@ class TranscriptVault:
         # jobs; on a cluster this overlaps three shuffle/write pipelines)
         from concurrent.futures import ThreadPoolExecutor
 
+        # [] (vs None = unknown) means the replay probe proved this batch
+        # feeds the table no rows (hash keys are never null, so the probe
+        # is a superset) — skip that merge with zero Spark jobs. In steady
+        # state the link sees this whenever a batch carries no tool turns.
         aff = affected or {}
+        skipped = {"skipped_empty_batch": batch_id}
         with ThreadPoolExecutor(max_workers=3) as pool:
-            f_hub = pool.submit(
+            f_hub = None if aff.get("hub") == [] else pool.submit(
                 self.hub_merge.apply_batch, self.hub, upserts, batch_id,
                 aff.get("hub"),
             )
-            f_sat = pool.submit(
+            f_sat = None if aff.get("sat") == [] else pool.submit(
                 sat_merge.apply_batch, self.sat, events, batch_id, lineage or {},
                 aff.get("sat"),
             )
-            f_link = pool.submit(
+            f_link = None if aff.get("link") == [] else pool.submit(
                 self.link_merge.apply_batch,
                 self.link,
                 upserts.filter(F.col("tool").isNotNull()),
                 batch_id,
                 aff.get("link"),
             )
-            out = {"hub": f_hub.result(), "sat": f_sat.result(), "link": f_link.result()}
+            out = {
+                "hub": f_hub.result() if f_hub else skipped,
+                "sat": f_sat.result() if f_sat else skipped,
+                "link": f_link.result() if f_link else skipped,
+            }
         self.maintain()
         return out
 

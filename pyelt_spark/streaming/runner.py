@@ -101,6 +101,13 @@ class MicrobatchRunner:
             affected.setdefault(int(r["_b"]), {}).setdefault(r["t"], []).append(
                 int(r["k"])
             )
+        # every table is probed unconditionally, so a missing entry for a
+        # batch PROVES that table gets no rows there — record the empty
+        # list and the vault skips that merge without any Spark job (the
+        # common case: a batch with no tool turns feeds the link nothing)
+        for slot in affected.values():
+            for t in ("sat", "hub", "link"):
+                slot.setdefault(t, [])
         batch_ids = sorted(affected)
         out = []
         for b in batch_ids:

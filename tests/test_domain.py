@@ -642,3 +642,34 @@ def test_pipe_runs_log(spark, tmp_path):
     assert [(r["run_id"], r["attempt"], r["status"]) for r in log] == [
         (1, 0, "finished"), (2, 0, "running"), (2, 1, "finished"),
     ]
+
+
+def test_pipe_skips_provably_empty_merges(spark, tmp_path):
+    """replay()'s bucket probe doubles as an empty-batch proof: a batch
+    feeding an entity no rows skips that entity's hub and sat merges with
+    zero Spark jobs, and final state matches the unskipped semantics."""
+    pipe = Pipe(spark, str(tmp_path / "dv"), _mappings(), num_buckets=4)
+    ev = spark.createDataFrame(
+        [
+            _ev(1, "p1", "Jan"),
+            # batch 2 carries ONLY handeling rows for p1 — no new patient
+            # payload and no valueset/adres columns
+            _ev(2, "p1", "Jan", handeling="h1"),
+        ],
+        _SCHEMA,
+    ).withColumn("batch_id", F.col("seq"))
+    out = pipe.replay(ev)
+    by_batch = {m["batch_id"]: m for m in out}
+    # batch 1 has no handeling rows: both handeling merges skip; the link
+    # mapping's filter also excludes every row
+    assert by_batch[1]["handeling_hub"] == {"skipped_empty_batch": 1}
+    assert by_batch[1]["handeling_sat"] == {"skipped_empty_batch": 1}
+    assert by_batch[1]["patient_handeling_link"] == {"skipped_empty_batch": 1}
+    assert by_batch[1]["patient_hub"]["new_keys"] == 1
+    # batch 2 touches everything
+    assert by_batch[2]["handeling_hub"]["new_keys"] == 1
+    assert by_batch[2]["patient_handeling_link"]["new_keys"] == 1
+    # final state unaffected by the skips
+    assert pipe.hub_table(Patient).read().count() == 1
+    assert pipe.hub_table(Handeling).read().count() == 1
+    assert pipe.sat_table("patient_sat").current().count() == 1

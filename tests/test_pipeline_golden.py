@@ -130,3 +130,34 @@ def test_streaming_tail_with_schema_evolution(spark, tmp_path):
     assert sat.filter("_runid < 1000000000 or _runid is null").count() == 0 or True
     assert sat.filter("meta is not null").count() > 0
     assert sat.count() > n_before
+
+
+def test_replay_skips_link_on_toolless_batch(spark, tmp_path):
+    """The replay probe proves a batch with no tool turns feeds the link
+    nothing — that merge must be skipped with zero Spark jobs while hub
+    and sat still apply, and final link state must be unaffected."""
+    rows = [
+        # batch 1: one tool turn
+        ("c1", 0, "user", "hello", None, 1, "U", 1),
+        ("c1", 1, "assistant", "run it", "search", 2, "U", 1),
+        # batch 2: NO tool turns anywhere
+        ("c1", 2, "user", "thanks", None, 3, "U", 2),
+        ("c2", 0, "user", "hi", None, 4, "U", 2),
+        # batch 3: tool turns again
+        ("c2", 1, "assistant", "calc", "code", 5, "U", 3),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "seq long, op string, batch_id long",
+    ).withColumn("ts", F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,seq)"))
+    vault = TranscriptVault(spark, str(tmp_path / "vault"), num_buckets=4)
+    out = MicrobatchRunner(vault).replay(ev)
+    by_batch = dict(zip((1, 2, 3), out))  # replay applies in batch order
+    assert by_batch[2]["link"] == {"skipped_empty_batch": 2}
+    assert isinstance(by_batch[1]["link"], dict) and "new_keys" in by_batch[1]["link"]
+    assert by_batch[2]["sat"]["inserted"] == 2
+    # final state: exactly the two (conv, tool) pairs from batches 1 and 3
+    links = {(r["conv_id"], r["tool"]) for r in vault.link.read().collect()}
+    assert links == {("c1", "search"), ("c2", "code")}
+    assert vault.current_turns().count() == 5
