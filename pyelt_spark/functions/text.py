@@ -115,8 +115,10 @@ def winnow_fingerprints(
 
     norm = normalized(text_col)
     chars = F.split(norm, "")
-    # split("", "") is [] but the scheme fingerprints an empty doc as
-    # sha("") (substring(t, 1, k) of an empty string); keep one "" element
+    # Spark's split("", "") returns [''] (one empty element), which already
+    # fingerprints an empty doc as sha("") — the size==0 branch is purely
+    # defensive against an engine version changing that to [] (verified
+    # empirically on 4.1; output matches the DuckDB oracle either way)
     gen = F.when(F.size(chars) == 0, F.array(F.lit(""))).otherwise(chars)
     base = df.select(F.col(id_col), F.posexplode(gen).alias("_pos", "_c"))
     win = Window.partitionBy(id_col).orderBy("_pos")

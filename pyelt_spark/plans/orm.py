@@ -102,10 +102,14 @@ class EntityData:
 
     def load(self, filter: str | None = None) -> dict[str, EntityRow]:
         """Hydrate hub rows (optionally filtered by a SQL expression over
-        hub columns). Mirrors HubData.load(filter) — one collect."""
+        hub columns). Mirrors HubData.load(filter) — one collect. Also
+        drops the lazy sat cache: a re-load is a request for CURRENT
+        state, and another writer (or a pipe.run) may have revised sats
+        since the cache filled (ADVICE r4)."""
         df = self.pipe.hub_table(self.entity).read()
         if filter:
             df = df.filter(filter)
+        self._sat_cache = {}
         self.rows = {}
         for r in df.collect():
             d = r.asDict()
@@ -144,26 +148,48 @@ class EntityData:
         self._pending.append(row)
         return row
 
+    def _next_batch_id(self) -> int:
+        """Pipe-wide high-water mark: the max batch id any of the pipe's
+        tables ever committed, plus the runs registry (a skipped-empty
+        source batch leaves no table commit but does leave a run record —
+        deriving from this entity's commits alone could reuse its id,
+        ADVICE r4)."""
+        pipe = self.pipe
+        ids: set[int] = {0}
+        for t in (
+            list(pipe.hubs.values())
+            + list(pipe.links.values())
+            + list(pipe.valuesets.values())
+        ):
+            ids |= t.committed_batch_ids()
+        for s in pipe.sats.values():
+            ids |= s.committed_batch_ids()
+        ids |= {int(r["run_id"]) for r in pipe.runs_log() if r.get("run_id") is not None}
+        return max(ids) + 1
+
     def save(self, ts: str = "1970-01-01") -> dict[str, Any]:
         """Write all pending rows through the entity's hub + sat merges
         as ONE microbatch at the next free batch id. Existing bks are
         no-ops in the hub (distinct-key insert) and unchanged payloads
         are no-ops in the sats (hashdiff) — the reference's NOT-EXISTS /
-        revision-update semantics, set-based and exactly-once."""
+        revision-update semantics, set-based and exactly-once.
+
+        Each touched sat receives ONLY the pending rows that queued
+        payload for it via ``set_sat``: a hub-only row mixed into a sat's
+        merge would arrive as an all-null payload, which the hashdiff
+        treats as a change — writing a spurious null revision over the
+        key's active data (ADVICE r4, medium).
+
+        SINGLE-WRITER per pipe: the next batch id is derived from the
+        commit logs, so two concurrent EntityData writers can compute the
+        same id. The merge's idempotence then makes the loser a silent
+        no-op — detected here (the hub merge reports the duplicate) and
+        raised instead of dropped."""
         if not self._pending:
             return {"saved": 0}
         pipe, owner = self.pipe, self.owner
         hub_t = pipe.hub_table(self.entity)
-        batch_id = max(
-            [c.batch_id for c in hub_t.commits() if c.batch_id is not None]
-            + [
-                c.batch_id
-                for n in self.entity.__sats__
-                for c in pipe.sats[n].head.commits()
-                if c.batch_id is not None
-            ],
-            default=0,
-        ) + 1
+        batch_id = self._next_batch_id()
 
         sat_payloads: dict[str, list[str]] = {
             self._sat_attrs[a]: self._payload_cols(self._sat_attrs[a])
@@ -177,11 +203,14 @@ class EntityData:
             d = {c: getattr(row, c, None) for c in owner.__bk__}
             for attr, payload in row._pending_sats.items():
                 d.update(payload)
-            data.append(tuple(d.get(c) for c in all_cols))
+            touched_sats = sorted(self._sat_attrs[a] for a in row._pending_sats)
+            data.append(tuple(d.get(c) for c in all_cols) + (touched_sats,))
         seq = pipe.order_by[0]
         ev = (
             pipe.spark.createDataFrame(
-                data, schema=self._save_schema(all_cols, sat_payloads)
+                data,
+                schema=self._save_schema(all_cols, sat_payloads)
+                + ", _sats array<string>",
             )
             .withColumn(seq, F.lit(batch_id).cast("long"))
             .withColumn(pipe.ts_col, F.lit(ts).cast("timestamp"))
@@ -190,16 +219,22 @@ class EntityData:
             ev = ev.withColumn(pipe.op_col, F.lit("U"))
 
         out: dict[str, Any] = {"batch_id": batch_id, "saved": len(self._pending)}
-        out[owner.__hub_name__] = pipe.hub_merges[owner].apply_batch(
-            hub_t, ev, batch_id
-        )
+        hub_res = pipe.hub_merges[owner].apply_batch(hub_t, ev.drop("_sats"), batch_id)
+        if "skipped_duplicate_batch" in hub_res:
+            raise RuntimeError(
+                f"batch id {batch_id} already committed on {owner.__hub_name__}: "
+                "another writer raced this save() (EntityData is single-writer "
+                "per pipe) — reload and retry"
+            )
+        out[owner.__hub_name__] = hub_res
         touched = {
             self._sat_attrs[a] for r in self._pending for a in r._pending_sats
         }
         for name in touched:
-            need = pipe.sat_merges[name].business_keys
-            sev = ev
-            for c in need:
+            # only rows that queued payload for THIS sat; hub-only rows
+            # must not reach the hashdiff as all-null payloads
+            sev = ev.filter(F.array_contains(F.col("_sats"), F.lit(name))).drop("_sats")
+            for c in pipe.sat_merges[name].business_keys:
                 sev = sev.filter(F.col(c).isNotNull())
             out[name] = pipe.sat_merges[name].apply_batch(
                 pipe.sats[name], sev, batch_id

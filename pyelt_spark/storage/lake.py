@@ -199,12 +199,7 @@ class LakeTable:
 
     # ---------------------------------------------------------------- writing
 
-    def stage(
-        self,
-        new_data: DataFrame,
-        affected_buckets: list[int],
-        repartition: bool = True,
-    ) -> dict:
+    def stage(self, new_data: DataFrame, affected_buckets: list[int]) -> dict:
         """Write the NEXT version's data files without publishing a manifest.
 
         Returns a staging handle for ``commit(..., staged=...)``. Lets a
@@ -226,9 +221,9 @@ class LakeTable:
         version = (last.version + 1) if last else 1
         rel_dir = os.path.join("data", f"v{version}")
         out_dir = os.path.join(self.path, rel_dir)
-        df = new_data.withColumn(_PART_COL, F.col(BUCKET_COL))
-        if repartition:
-            df = df.repartition(max(len(affected_buckets), 1), F.col(BUCKET_COL))
+        df = new_data.withColumn(_PART_COL, F.col(BUCKET_COL)).repartition(
+            max(len(affected_buckets), 1), F.col(BUCKET_COL)
+        )
         df.write.partitionBy(_PART_COL).mode("overwrite").parquet(out_dir)
         written: set[int] = set()
         rows_per_bucket: dict[int, int] = {}

@@ -117,3 +117,60 @@ def test_new_requires_business_key(spark, tmp_path):
     pipe = _pipe(spark, tmp_path)
     with pytest.raises(ValueError):
         EntityData(pipe, Patient).new(naam="x")
+
+
+def test_hub_only_row_does_not_clobber_sat(spark, tmp_path):
+    """A pending row that never set_sat() must not reach the sat merge:
+    mixed into the batch it would arrive as an all-null payload, which the
+    hashdiff treats as a change — writing a spurious null revision over
+    the existing key's active data (ADVICE r4, medium)."""
+    pipe = _pipe(spark, tmp_path)
+    data = EntityData(pipe, Patient)
+    data.new(patient_id="p1")  # hub-only re-registration of an existing key
+    data.new(patient_id="p5").set_sat("default", naam="Neel")
+    out = data.save()
+    assert out["patient_sat"]["inserted"] == 1  # only p5
+    assert out["patient_sat"]["updated"] == 0
+    by_bk = {
+        r.patient_id: r for r in EntityData(pipe, Patient).load().values()
+    }
+    assert by_bk["p1"].default.naam == "Jan"  # untouched
+    assert by_bk["p1"].default._revision == 0
+    assert by_bk["p5"].default.naam == "Neel"
+
+
+def test_reload_invalidates_sat_cache(spark, tmp_path):
+    pipe = _pipe(spark, tmp_path)
+    data = EntityData(pipe, Patient)
+    rows = data.load()
+    assert {r.patient_id: r for r in rows.values()}["p1"].default.naam == "Jan"
+    # another writer revises p1 behind this reader's back
+    b2 = spark.createDataFrame([(5, "p1", "Johannes", "U", TS)], _SCHEMA)
+    pipe.run(b2, batch_id=2)
+    rows = data.load()  # re-load = request for CURRENT state
+    assert {r.patient_id: r for r in rows.values()}["p1"].default.naam == "Johannes"
+
+
+def test_batch_id_respects_runs_registry(spark, tmp_path):
+    """A run that committed nothing to this entity's tables still occupies
+    its batch id (the runs registry records it); save() must not reuse it."""
+    pipe = _pipe(spark, tmp_path)
+    pipe.run(None, batch_id=7)  # registry-only run, no table commits
+    data = EntityData(pipe, Patient)
+    data.new(patient_id="p6").set_sat("default", naam="Truus")
+    out = data.save()
+    assert out["batch_id"] == 8
+
+
+def test_concurrent_writer_raises(spark, tmp_path):
+    """Two writers computing the same next id: the loser must raise, not
+    silently no-op through the merge's idempotence (single-writer guard)."""
+    pipe = _pipe(spark, tmp_path)
+    data = EntityData(pipe, Patient)
+    stale = data._next_batch_id()
+    # rival writer wins the race after this writer derived its id
+    pipe.hub_table(Patient).commit(None, [], batch_id=stale)
+    data._next_batch_id = lambda: stale
+    data.new(patient_id="p9").set_sat("default", naam="X")
+    with pytest.raises(RuntimeError, match="another writer"):
+        data.save()

@@ -55,10 +55,14 @@ def run_leg(cpus: str, cpuset: str, input_dir: str) -> dict:
     )
     try:
         with open(probe_path) as f:
-            wins = sorted(int(l) for l in f if l.strip())
+            raw = [int(l) for l in f if l.strip()]
         os.unlink(probe_path)
-        if len(wins) > 20:
-            wins = wins[5:]  # warmup windows
+        if len(raw) > 20:
+            # drop the first 5 windows in ARRIVAL order (interpreter/JIT
+            # warmup), THEN sort for the quantiles — sorting first would
+            # discard the 5 slowest windows, i.e. exactly the host-steal
+            # signal the probe exists to detect (ADVICE r4)
+            wins = sorted(raw[5:])
             med = wins[len(wins) // 2]
             p05 = wins[len(wins) // 20]
             # share of windows at <80% of the leg's own median rate
