@@ -61,6 +61,72 @@ def _fresh_spark(n_cpus: str, app: str):
     )
 
 
+class NoiseProbe:
+    """Run tools/noise_probe.py alongside the bench and summarize its
+    windows, so the bench artifact self-describes its measurement window
+    (VERDICT r4: a uniformly-noisy host cost a round of comparability).
+    ``probe_slow_share`` = share of windows below 80% of the run's own
+    median spin rate — an objective host-steal marker; > ~0.1 means the
+    numbers were taken under contention and should not be compared."""
+
+    def __init__(self, core: str = "31"):
+        import subprocess
+
+        self.path = tempfile.mktemp(prefix="bench_probe_")
+        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "noise_probe.py")
+        cmd = [sys.executable, probe, self.path]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", core] + cmd
+        self.proc = subprocess.Popen(
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+        )
+
+    def stop(self) -> dict:
+        self.proc.terminate()
+        self.proc.wait()
+        try:
+            with open(self.path) as f:
+                raw = [int(l) for l in f if l.strip()]
+            os.unlink(self.path)
+        except (OSError, ValueError):
+            return {}
+        if len(raw) < 20:
+            return {}
+        # drop the first 5 windows in ARRIVAL order (interpreter warmup),
+        # THEN sort — sorting first would discard the slowest windows,
+        # i.e. the host-steal signal itself (ADVICE r4)
+        wins = sorted(raw[5:])
+        med = wins[len(wins) // 2]
+        slow = sum(1 for w in wins if w < 0.8 * med) / len(wins)
+        return {
+            "probe_median": med,
+            "probe_p05": wins[len(wins) // 20],
+            "probe_slow_share": round(slow, 4),
+            "window": "noisy" if slow > 0.1 else "quiet",
+        }
+
+
+def _warmup_replay(spark) -> None:
+    """Untimed JIT/codegen warmup through the exact replay code path (a
+    tiny synthetic vault). Fresh-process timings are inflated ~5-7 s by
+    JVM/JIT warmup (r5 measurement: first sf0.1 replay 17.7 s, second
+    10.2 s in the same process); the headline metric is sustained merge
+    latency, so the bench measures warm-vs-warm and says so in the JSON
+    (``replay_warmed_up``)."""
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.sources.events import transcript_change_events
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    ev = transcript_change_events(spark, 4000, batch_size=1000, seed=7)
+    state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    root = tempfile.mkdtemp(prefix="bench_warm_", dir=state_base)
+    try:
+        MicrobatchRunner(TranscriptVault(spark, root, num_buckets=8)).replay(ev)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_merge_apply(spark, sf_dir: str, keep_vault: bool = False):
     """The headline job: full vault replay in 8 microbatches.
     Returns (seconds, n_events, vault_or_None)."""
@@ -196,8 +262,11 @@ def main():
 
     spark = _fresh_spark(CPUS, "bench")
     queries = entry.queries()
+    probe = NoiseProbe()
 
-    # headline: merge-apply throughput; keep the vault for state reads
+    # headline: merge-apply throughput (warm-vs-warm — see _warmup_replay);
+    # keep the vault for state reads
+    _warmup_replay(spark)
     merge_sec, n_events, vault = run_merge_apply(spark, SF_DIR, keep_vault=True)
     per_query = {"cdc_merge_apply_replay": round(merge_sec, 3)}
     total = merge_sec
@@ -214,7 +283,14 @@ def main():
         per_query[name] = round(dt, 3)
         total += dt
 
-    for name in BENCH_QUERIES:
+    # --full: additionally time EVERY queries() entry not already covered,
+    # so no operator family is perf-invisible (default list stays fixed
+    # for round-over-round driver comparability)
+    bench_list = list(BENCH_QUERIES)
+    if "--full" in sys.argv:
+        bench_list += [q for q in queries if q not in bench_list]
+
+    for name in bench_list:
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).count()
         dt = time.perf_counter() - t0
@@ -233,6 +309,8 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "merge_apply_events_per_sec": round(n_events / merge_sec, 1),
                 "merge_apply_n_events": n_events,
+                "replay_warmed_up": True,
+                **probe.stop(),
             }
         )
     )

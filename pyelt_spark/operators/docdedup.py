@@ -438,11 +438,20 @@ def dedup_clusters(
     e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
     edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().persist()
     # localCheckpoint (not persist): each round's plan references the
-    # previous labels TWICE (union + changed-count join), so an uncut
+    # previous labels twice (self rows + neighbor join), so an uncut
     # lineage doubles per round — 2^rounds plan nodes took the driver down
     # on a long chain. Checkpointing truncates to the materialized RDD:
     # O(1) plan per round. (On a multi-executor cluster prefer reliable
     # checkpoint(dir) if executor loss mid-loop must be survivable.)
+    #
+    # ONE Spark job per round: the convergence check is fused into the
+    # propagation aggregate as a per-row changed flag (every node carries a
+    # tagged self row, so old-vs-new is computable inside the groupBy), and
+    # the checkpoint is LAZY — the global sum(_chg) action is what
+    # materializes it, all partitions in the same job. The previous shape
+    # (eager checkpoint job + separate old-vs-new join + limit(1) count)
+    # cost 2-3 jobs per round; at bench scale the rounds are
+    # scheduler-latency-bound, so job count is the wall clock.
     labels = (
         edges.select(F.col("x").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -455,19 +464,19 @@ def dedup_clusters(
             ).select(F.col("x").alias("node"), "label")
         )
         new = (
-            labels.unionByName(nbr)
+            labels.withColumn("_self", F.lit(True))
+            .unionByName(nbr.withColumn("_self", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+            )
+            .withColumn("_chg", (F.col("label") != F.col("_old")).cast("long"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        # sum over zero rows is NULL (empty pair set) → converged
+        changed = new.agg(F.sum("_chg")).first()[0] or 0
+        labels = new.select("node", "label")
         if changed == 0:
             break
     else:

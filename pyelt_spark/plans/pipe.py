@@ -427,28 +427,7 @@ class Pipe:
 
         if "valuesets" in parts and staged is not None:
             self._fire("before_valuesets", staged, batch_id)
-            for m in self.mappings:
-                if isinstance(m, SorToValueSetMapping):
-                    vs = (
-                        self._project(staged, {}, m.filter)
-                        .select(
-                            F.lit(m.valueset_name).alias("valueset_naam"),
-                            F.expr(m.code).cast("string").alias("code"),
-                            F.expr(m.descr).cast("string").alias("omschrijving"),
-                            F.col(self.ts_col),
-                        )
-                        .filter(F.col("code").isNotNull())
-                    )
-                    merge = HubMerge(
-                        business_keys=["valueset_naam", "code"],
-                        hub_type=f"valueset_{m.valueset_name}",
-                        ts_col=self.ts_col,
-                        source_system=self.source_system,
-                        carry_cols=["omschrijving"],
-                    )
-                    out[f"valueset_{m.valueset_name}"] = merge.apply_batch(
-                        self.valuesets[m.valueset_name], vs, batch_id
-                    )
+            out.update(self._run_jobs(self._valueset_jobs(staged, batch_id)))
             self._fire("after_valuesets", staged, batch_id)
 
         if "hubs" in parts and staged is not None:
@@ -631,6 +610,49 @@ class Pipe:
                         ),
                     )
                 )
+        return jobs
+
+    def _valueset_jobs(
+        self, staged: DataFrame, batch_id: int
+    ) -> list[tuple[str, Callable[[], dict]]]:
+        """One job per valueset TABLE, per-mapping frames unioned — two
+        mappings feeding one valueset must not apply as two merges of the
+        same batch_id (the second would be dropped by idempotence)."""
+        by_name: "OrderedDict[str, list[DataFrame]]" = OrderedDict()
+        for m in self.mappings:
+            if not isinstance(m, SorToValueSetMapping):
+                continue
+            vs = (
+                self._project(staged, {}, m.filter)
+                .select(
+                    F.lit(m.valueset_name).alias("valueset_naam"),
+                    F.expr(m.code).cast("string").alias("code"),
+                    F.expr(m.descr).cast("string").alias("omschrijving"),
+                    F.col(self.ts_col),
+                )
+                .filter(F.col("code").isNotNull())
+            )
+            by_name.setdefault(m.valueset_name, []).append(vs)
+        jobs: list[tuple[str, Callable[[], dict]]] = []
+        for name, frames in by_name.items():
+            u = frames[0]
+            for f in frames[1:]:
+                u = u.unionByName(f)
+            merge = HubMerge(
+                business_keys=["valueset_naam", "code"],
+                hub_type=f"valueset_{name}",
+                ts_col=self.ts_col,
+                source_system=self.source_system,
+                carry_cols=["omschrijving"],
+            )
+            jobs.append(
+                (
+                    f"valueset_{name}",
+                    lambda t=self.valuesets[name], m2=merge, e=u: m2.apply_batch(
+                        t, e, batch_id
+                    ),
+                )
+            )
         return jobs
 
     def _link_input(
@@ -848,17 +870,107 @@ class Pipe:
             for t in fully_probed:
                 slot.setdefault(t, [])
         try:
-            out = [
-                self.run(
-                    events.filter(F.col(batch_col) == b),
-                    int(b),
-                    parts=parts,
-                    affected=affected.get(int(b)),
-                )
-                for b in ids
-            ]
+            if self._laneable(parts):
+                out = self._replay_laned(events, batch_col, ids, affected, parts)
+            else:
+                out = [
+                    self.run(
+                        events.filter(F.col(batch_col) == b),
+                        int(b),
+                        parts=parts,
+                        affected=affected.get(int(b)),
+                    )
+                    for b in ids
+                ]
         finally:
             if own_persist:
                 events.unpersist()
         self.maintain()
         return out
+
+    def _laneable(self, parts: list[str] | None) -> bool:
+        """Laned replay applies when every target table's batch chain is
+        independent of every other table: sor-fed hub/sat/link/valueset
+        merges read only the staged batch and their OWN table's state
+        (hash surrogate keys — no cross-table FK lookups). View promotions
+        read OTHER tables' post-batch state, hooks observe part
+        boundaries, and validations thread a quarantine stage through the
+        batch — all three force the per-batch part order, so their
+        presence falls back to the serial per-batch ``run`` loop."""
+        wanted = set(ALL_PARTS if parts is None else parts)
+        has_views = any(
+            isinstance(m, (EntityViewToEntityMapping, EntityViewToLinkMapping))
+            for m in self.mappings
+        )
+        return (
+            not self.hooks
+            and not self.validations
+            and not (has_views and ("views" in wanted or "viewlinks" in wanted))
+        )
+
+    def _replay_laned(
+        self,
+        events: DataFrame,
+        batch_col: str,
+        ids: list,
+        affected: dict[int, dict[str, list[int]]],
+        parts: list[str] | None,
+    ) -> list[dict]:
+        """Per-TABLE lanes over the batch sequence: each table applies its
+        batches in order on its own sequential chain, and all chains run
+        concurrently. Correctness needs only per-table batch order (batch
+        N+1's merge reads the state batch N committed — on the same
+        table), so the per-batch cross-table barrier of the serial loop is
+        pure wasted wall-clock; dropping it takes the replay from
+        Σ_batches max_tables(latency) to max_tables Σ_batches(latency).
+        Each merge stays individually idempotent per (table, batch_id), so
+        a crash — which can now leave DIFFERENT tables at different
+        batches — still resumes exactly-once by re-running the replay.
+        Run-registry records are started per batch up front and finished
+        as the outputs assemble; a crash leaves every unfinished batch
+        'running' (torn-run forensics unchanged)."""
+        parts_l = ALL_PARTS if parts is None else parts
+        batch_ids = [int(b) for b in ids]
+        outs: dict[int, dict[str, Any]] = {
+            b: {"batch_id": b, "parts": list(parts_l)} for b in batch_ids
+        }
+        lanes: "OrderedDict[str, list[tuple[int, Callable[[], dict]]]]" = OrderedDict()
+        run_recs: list[str] = []
+        for b in batch_ids:
+            self._affected = affected.get(b) or {}
+            batch = events.filter(F.col(batch_col) == b)
+            jobs: list[tuple[str, Callable[[], dict]]] = []
+            if "valuesets" in parts_l:
+                jobs += self._valueset_jobs(batch, b)
+            if "hubs" in parts_l:
+                inputs = [
+                    (m, self._project(batch, m.field_map, m.filter))
+                    for m in self.mappings
+                    if isinstance(m, SorToEntityMapping)
+                ]
+                jobs += self._grouped_entity_jobs(inputs, b, None)
+            if "links" in parts_l:
+                link_evs: dict = {}
+                for m in self.mappings:
+                    if isinstance(m, SorToLinkMapping):
+                        ev = self._project(batch, m.field_map, m.filter)
+                        link_evs.setdefault(m.link, []).append(
+                            self._link_input(m.link, ev, m.type_expr)
+                        )
+                jobs += self._link_jobs(link_evs, b)
+            run_recs.append(self._runs_start(b, parts_l))
+            for name, fn in jobs:
+                lanes.setdefault(name, []).append((b, fn))
+
+        def _run_lane(name: str) -> None:
+            for b, fn in lanes[name]:
+                outs[b][name] = fn()
+
+        if lanes:
+            with ThreadPoolExecutor(max_workers=min(len(lanes), 16)) as pool:
+                futs = [pool.submit(_run_lane, name) for name in lanes]
+                for f in futs:
+                    f.result()
+        for rec, b in zip(run_recs, batch_ids):
+            self._runs_finish(rec, outs[b])
+        return [outs[b] for b in batch_ids]

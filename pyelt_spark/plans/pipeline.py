@@ -95,6 +95,23 @@ class TranscriptVault:
 
     # ----------------------------------------------------------------- apply
 
+    def batch_sat_merge(self, events: DataFrame):
+        """Per-batch sat-merge config: declared payload cols present in the
+        batch plus any new (additive-evolution) cols. Built per batch —
+        mutating the shared self.sat_merge would make the vault
+        non-reentrant and column-order-dependent (ADVICE r1)."""
+        from dataclasses import replace
+
+        base = self.sat_merge.payload_cols
+        payload_cols = [c for c in base if c in events.columns] + [
+            c
+            for c in events.columns
+            if c not in base
+            and c not in BUSINESS_KEYS
+            and c not in ("seq", "op", "batch_id", "ts")
+        ]
+        return replace(self.sat_merge, payload_cols=payload_cols)
+
     def apply_batch(
         self,
         events: DataFrame,
@@ -106,21 +123,7 @@ class TranscriptVault:
 
         Idempotent per batch_id on every table (exactly-once replay).
         """
-        # per-batch payload list: declared cols present in the batch plus any
-        # new (additive-evolution) cols. Built into a per-batch merge config —
-        # mutating the shared self.sat_merge would make the vault
-        # non-reentrant and column-order-dependent (ADVICE r1)
-        from dataclasses import replace
-
-        base = self.sat_merge.payload_cols
-        payload_cols = [c for c in base if c in events.columns] + [
-            c
-            for c in events.columns
-            if c not in base
-            and c not in BUSINESS_KEYS
-            and c not in ("seq", "op", "batch_id", "ts")
-        ]
-        sat_merge = replace(self.sat_merge, payload_cols=payload_cols)
+        sat_merge = self.batch_sat_merge(events)
 
         # NOTE (measured at 16M events, pinned local[8]): caching the batch
         # so the three merges share one materialization is a LOSS (153 s →
@@ -174,9 +177,7 @@ class TranscriptVault:
         manifest references more than ``max_dirs_per_bucket`` dirs. Manifest
         inspection is in-memory — zero cost when nothing is fragmented."""
         for t in (self.hub, self.link, self.sat.hist):
-            last = t.last_commit()
-            if last and any(len(d) > max_dirs_per_bucket for d in last.buckets.values()):
-                t.compact(max_versions_per_bucket=max_dirs_per_bucket)
+            t.compact_if_crowded(max_dirs_per_bucket)
         self.sat.compact_head(max_dirs_per_bucket=max_dirs_per_bucket)
 
     def replay(self, events: DataFrame, batch_col: str = "batch_id") -> list[dict]:

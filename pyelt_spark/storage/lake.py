@@ -216,7 +216,12 @@ class LakeTable:
         leaves behind (3-5 files/bucket after 8 batches) make every
         subsequent pruned head read slower, which compounds across
         batches. One exchange per write keeps one file per bucket and the
-        read path flat."""
+        read path flat. An AQE REBALANCE hint instead of the fixed
+        ``repartition(len(affected))`` was also A/B-measured (r5) and LOST
+        on the laned sf0.1 replay (16.2/18.7 vs 15.6/16.3 s interleaved):
+        the extra adaptive stage barrier costs more than the small tasks
+        it coalesces away when many concurrent microbatch jobs share the
+        scheduler."""
         last = self.last_commit()
         version = (last.version + 1) if last else 1
         rel_dir = os.path.join("data", f"v{version}")
@@ -344,6 +349,17 @@ class LakeTable:
             )
 
     # ------------------------------------------------------------ maintenance
+
+    def compact_if_crowded(self, max_dirs_per_bucket: int = 16) -> None:
+        """Compact only when some bucket's manifest references more than
+        ``max_dirs_per_bucket`` data dirs. Manifest inspection is in-memory
+        — zero cost when nothing is fragmented. The shared idiom for every
+        append-mode table's post-batch maintenance (hub/link/sat-history)."""
+        last = self.last_commit()
+        if last and any(
+            len(d) > max_dirs_per_bucket for d in last.buckets.values()
+        ):
+            self.compact(max_versions_per_bucket=max_dirs_per_bucket)
 
     def compact(self, max_versions_per_bucket: int = 4) -> None:
         """Rewrite buckets whose data spans many commit versions (small-file
