@@ -30,7 +30,8 @@ def run_leg(cpus: str, cpuset: str, input_dir: str) -> dict:
         sys.executable, os.path.join(REPO, "bench.py"),
         "--scaling-worker", cpus, input_dir,
     ]
-    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="16g", PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=REPO)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     # objective contamination marker: a spin probe pinned to a core the
     # leg never touches; depressed probe windows = host steal during the
     # leg (see tools/noise_probe.py)
