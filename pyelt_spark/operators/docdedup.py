@@ -249,19 +249,28 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select("_id", F.explode(F.array(*band_cols)).alias("_b")).select(
-        "_id", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
+    buckets = sig.select("_id", "_n", F.explode(F.array(*band_cols)).alias("_b")).select(
+        "_id", "_n", F.col("_b.band").alias("_band"), F.col("_b.key").alias("_key")
     )
     # NO distinct on candidates: a pair matching in k bands rides through
     # the verify joins k times (k ≤ bands, a small constant) and collapses
     # in the (a,b) aggregate — count_distinct(_hx) keeps |A∩B| exact under
     # the duplication. This trades a bounded constant-factor join fan-out
     # for eliminating a full exchange+AQE round over the candidate multiset.
+    #
+    # The per-doc distinct-shingle counts ride THROUGH the bucket rows into
+    # the candidate pairs (functionally dependent on a/b, collapsed by
+    # min() in the pair aggregate), so verification needs no trailing size
+    # joins — two broadcast joins plus a re-aggregation of the cached
+    # shingle lineage removed from the tail of the plan.
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), ["_band", "_key"])
         .filter(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .select(
+            F.col("x._id").alias("a"), F.col("y._id").alias("b"),
+            F.col("x._n").alias("_na"), F.col("y._n").alias("_nb"),
+        )
     )
     A = dist.select(F.col("_id").alias("a"), "_hx")
     B = dist.select(F.col("_id").alias("b"), "_hx")
@@ -269,13 +278,14 @@ def minhash_lsh_pairs(
         cand.join(A, "a")
         .join(B, ["b", "_hx"])
         .groupBy("a", "b")
-        .agg(F.count_distinct("_hx").alias("_inter"))
+        .agg(
+            F.count_distinct("_hx").alias("_inter"),
+            F.min("_na").alias("_na"),
+            F.min("_nb").alias("_nb"),
+        )
     )
-    sizes = sig.select("_id", "_n")
-    sa = sizes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
     return (
-        common.join(sa, "a").join(sb, "b")
+        common
         .withColumn(
             "jaccard",
             F.round(
@@ -436,7 +446,14 @@ def dedup_clusters(
     their own canonical by definition and need no compute.
     """
     e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
-    edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().persist()
+    # No distinct() on the symmetrized edge list: every consumer is a
+    # min-aggregate (directly, or through a join whose fan-out feeds a
+    # min), and min over a multiset equals min over its set — duplicate
+    # edges cost bounded join fan-out, never correctness. Dropping the
+    # dedup removes a full exchange (and its AQE round) from the edge
+    # materialization; inputs with heavy pair duplication should dedup
+    # upstream.
+    edges = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).persist()
     # localCheckpoint (not persist): each round's plan references the
     # previous labels twice (self rows + neighbor join), so an uncut
     # lineage doubles per round — 2^rounds plan nodes took the driver down
@@ -452,28 +469,44 @@ def dedup_clusters(
     # (eager checkpoint job + separate old-vs-new join + limit(1) count)
     # cost 2-3 jobs per round; at bench scale the rounds are
     # scheduler-latency-bound, so job count is the wall clock.
-    labels = (
-        edges.select(F.col("x").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    #
+    # Round 1 needs NO label join and no separate init pass: before any
+    # propagation a neighbor's label IS its node id, so the first
+    # propagation round is a single aggregate over the edge list —
+    # label₁(x) = min(x, min(y : y∈N(x))) — fused with node discovery.
+    # One aggregate replaces the eager init-checkpoint job plus round 1's
+    # join (one full pass over the edges saved at any scale; at bench
+    # scale, one fewer scheduler round-trip).
+    labels = None
     for _ in range(max_iter):
-        nbr = (
-            edges.join(
-                labels.select(F.col("node").alias("y"), F.col("label")), "y"
-            ).select(F.col("x").alias("node"), "label")
-        )
-        new = (
-            labels.withColumn("_self", F.lit(True))
-            .unionByName(nbr.withColumn("_self", F.lit(False)))
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+        if labels is None:
+            new = (
+                edges.groupBy(F.col("x").alias("node"))
+                .agg(F.min("y").alias("_nbr_min"))
+                .select(
+                    "node",
+                    F.least(F.col("node"), F.col("_nbr_min")).alias("label"),
+                    (F.col("_nbr_min") < F.col("node")).cast("long").alias("_chg"),
+                )
+                .localCheckpoint(eager=False)
             )
-            .withColumn("_chg", (F.col("label") != F.col("_old")).cast("long"))
-            .localCheckpoint(eager=False)
-        )
+        else:
+            nbr = (
+                edges.join(
+                    labels.select(F.col("node").alias("y"), F.col("label")), "y"
+                ).select(F.col("x").alias("node"), "label")
+            )
+            new = (
+                labels.withColumn("_self", F.lit(True))
+                .unionByName(nbr.withColumn("_self", F.lit(False)))
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+                )
+                .withColumn("_chg", (F.col("label") != F.col("_old")).cast("long"))
+                .localCheckpoint(eager=False)
+            )
         # sum over zero rows is NULL (empty pair set) → converged
         changed = new.agg(F.sum("_chg")).first()[0] or 0
         labels = new.select("node", "label")
