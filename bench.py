@@ -118,11 +118,18 @@ def _warmup_replay(spark) -> None:
     from pyelt_spark.sources.events import transcript_change_events
     from pyelt_spark.streaming.runner import MicrobatchRunner
 
-    ev = transcript_change_events(spark, 4000, batch_size=1000, seed=7)
+    # shape-matched: same bucket count as the measured replay (32), enough
+    # events for several non-trivial batches. A 4k-event/8-bucket warmup
+    # left the first sf0.1 replay ~4 s slower than the second (different
+    # codegen/AQE paths); with this shape the first timed replay matches
+    # the steady state (r5 measurement: 14.07 vs 13.95 s back-to-back).
+    ev = transcript_change_events(spark, 20000, batch_size=2500, seed=7)
     state_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     root = tempfile.mkdtemp(prefix="bench_warm_", dir=state_base)
     try:
-        MicrobatchRunner(TranscriptVault(spark, root, num_buckets=8)).replay(ev)
+        MicrobatchRunner(
+            TranscriptVault(spark, root, num_buckets=max(int(CPUS), 8))
+        ).replay(ev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -211,35 +211,22 @@ class Scd2Merge:
 
     # ----------------------------------------------------------------- merge
 
-    def apply_batch(
-        self,
-        table: Scd2Table,
-        events: DataFrame,
-        batch_id: int,
-        lineage: dict[str, Any] | None = None,
-        affected_buckets: list[int] | None = None,
-    ) -> dict[str, Any]:
-        """Apply one microbatch; returns merge metrics. Idempotent: an
-        already-committed batch_id is skipped (exactly-once).
+    def _build_batch(
+        self, table: Scd2Table, events: DataFrame, recipe: HashRecipe
+    ) -> DataFrame:
+        """Batch-side frame of a merge: latest-per-key dedup, hash key,
+        versioned hashdiffs, bucket, op column — PERSISTED (caller
+        unpersists). Depends on nothing but the event stream and the
+        recipe, so a replay lane can prefetch batch N+1's frame while
+        batch N is still writing (see ``prepare_batch``).
 
-        ``affected_buckets``: optional precomputed bucket list (any SUPERSET
-        of the batch's true buckets is correct — it only widens the pruned
-        head read). A replay loop computes every batch's buckets in one job
-        up front (streaming/runner.py), removing a per-batch driver-blocking
-        job from the merge critical path."""
-        if batch_id in table.committed_batch_ids():
-            return {"skipped_duplicate_batch": batch_id}
-
-        recipe = self._evolved_recipe(events, table)
-        payload = recipe.current_cols
+        Dedup groups on the SHA-256 hash key itself: the aggregate's
+        output is then already hash-partitioned on the join key, so the
+        state join in ``apply_batch`` needs NO second exchange of the
+        batch — one shuffle total for dedup + merge. (Costs a sha2 per raw
+        event instead of per winner; at scale a saved shuffle beats
+        recomputed hashes.)"""
         s = self.sys
-
-        # 1. latest-per-key dedup (map-side aggregate; skew-proof). Grouping
-        #    happens on the SHA-256 hash key itself: the aggregate's output
-        #    is then already hash-partitioned on the join key, so the state
-        #    join below needs NO second exchange of the batch — one shuffle
-        #    total for dedup + merge. (Costs a sha2 per raw event instead of
-        #    per winner; at scale a saved shuffle beats recomputed hashes.)
         keyed = events.withColumn(s.key, hash_key(*self.business_keys))
         batch = latest_per_key(
             keyed,
@@ -257,7 +244,64 @@ class Scd2Merge:
             if self.op_col and self.op_col in batch.columns
             else F.lit("U")
         )
-        batch = batch.withColumn("_op", op).persist()
+        return batch.withColumn("_op", op).persist()
+
+    def prepare_batch(
+        self, table: Scd2Table, events: DataFrame
+    ) -> dict[str, Any]:
+        """Build and MATERIALIZE the batch-side frame ahead of its merge.
+
+        The frame is the only part of a merge that reads no table state,
+        so a replay lane can run batch N+1's dedup shuffle concurrently
+        with batch N's head/hist writes (pipelining the lane: the shuffle
+        leaves the per-batch critical path). Returns a handle for
+        ``apply_batch(prepared=...)``, which adopts the frame when the
+        recipe version still matches (schema evolution between prefetch
+        and merge rebuilds instead) and unpersists it either way."""
+        recipe = self._evolved_recipe(events, table)
+        batch = self._build_batch(table, events, recipe)
+        batch.count()
+        return {"batch": batch, "recipe_version": recipe.current_version}
+
+    def apply_batch(
+        self,
+        table: Scd2Table,
+        events: DataFrame,
+        batch_id: int,
+        lineage: dict[str, Any] | None = None,
+        affected_buckets: list[int] | None = None,
+        prepared: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Apply one microbatch; returns merge metrics. Idempotent: an
+        already-committed batch_id is skipped (exactly-once).
+
+        ``affected_buckets``: optional precomputed bucket list (any SUPERSET
+        of the batch's true buckets is correct — it only widens the pruned
+        head read). A replay loop computes every batch's buckets in one job
+        up front (streaming/runner.py), removing a per-batch driver-blocking
+        job from the merge critical path.
+
+        ``prepared``: optional prefetched batch frame from
+        ``prepare_batch`` (same events slice); adopted only if the recipe
+        version still matches."""
+        if batch_id in table.committed_batch_ids():
+            if prepared is not None:
+                prepared["batch"].unpersist()
+            return {"skipped_duplicate_batch": batch_id}
+
+        recipe = self._evolved_recipe(events, table)
+        payload = recipe.current_cols
+        s = self.sys
+
+        # 1. batch-side frame: adopt the prefetched one when its recipe is
+        #    still current (the stream's schema didn't evolve between
+        #    prefetch and merge), else build inline
+        if prepared is not None and prepared["recipe_version"] == recipe.current_version:
+            batch = prepared["batch"]
+        else:
+            if prepared is not None:
+                prepared["batch"].unpersist()
+            batch = self._build_batch(table, events, recipe)
 
         # 2. affected-bucket discovery → pruned HEAD read (one row per key)
         affected = (

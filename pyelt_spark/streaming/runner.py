@@ -30,8 +30,11 @@ from pyelt_spark.plans.pipeline import TranscriptVault
 
 
 class MicrobatchRunner:
-    def __init__(self, vault: TranscriptVault):
+    def __init__(self, vault: TranscriptVault, prefetch: bool = True):
         self.vault = vault
+        # sat-lane one-ahead prefetch (see replay); off = plain lanes,
+        # kept togglable for A/B latency measurement
+        self.prefetch = prefetch
 
     # ------------------------------------------------------------ batch mode
 
@@ -177,7 +180,55 @@ class MicrobatchRunner:
                     on_batch(nb, _assemble(nb))
                     fired[0] += 1
 
+        # Sat-lane pipelining: the batch-side frame (the merge's one full
+        # shuffle — dedup + hashdiff) reads no table state, so batch N+1's
+        # frame is prefetched on a side thread while batch N's head/hist
+        # writes run. The sat lane is the replay's critical path (widest
+        # payload, head + hist writes per batch); hub/link merges are
+        # cheaper than the sat's write tail, so prefetching them would only
+        # add job-scheduler contention. One-ahead keeps at most one extra
+        # cached frame alive.
+        sat_pending = [b for b in pending if affected.get(b, {}).get("sat") != []]
+
+        def _sat_prepare(b: int) -> dict:
+            return sat_merge.prepare_batch(
+                v.sat, events.filter(F.col(batch_col) == b)
+            )
+
+        def _run_sat_lane() -> None:
+            _, maintain = lanes["sat"]
+            nxt = {
+                b: sat_pending[i + 1]
+                for i, b in enumerate(sat_pending[:-1])
+            }
+            with ThreadPoolExecutor(max_workers=1) as pf_pool:
+                futs: dict[int, Any] = {}
+                try:
+                    for b in pending:
+                        aff = affected.get(b, {}).get("sat")
+                        if aff == []:
+                            results[("sat", b)] = {"skipped_empty_batch": b}
+                            _mark(b)
+                            continue
+                        if b in nxt and nxt[b] not in futs:
+                            futs[nxt[b]] = pf_pool.submit(_sat_prepare, nxt[b])
+                        prepared = futs.pop(b).result() if b in futs else None
+                        batch_df = events.filter(F.col(batch_col) == b)
+                        results[("sat", b)] = sat_merge.apply_batch(
+                            v.sat, batch_df, b, {}, aff, prepared=prepared
+                        )
+                        maintain()
+                        _mark(b)
+                finally:
+                    for f in futs.values():  # a failed merge must not leak
+                        try:  # the in-flight prefetched frame from the cache
+                            f.result()["batch"].unpersist()
+                        except Exception:
+                            pass
+
         def _run_lane(name: str) -> None:
+            if name == "sat" and self.prefetch:
+                return _run_sat_lane()
             fn, maintain = lanes[name]
             for b in pending:
                 aff = affected.get(b, {}).get(name)
