@@ -601,15 +601,24 @@ class Pipe:
                 if _skip(name):
                     jobs.append((name, lambda b=batch_id: {"skipped_empty_batch": b}))
                     continue
-                jobs.append(
-                    (
-                        name,
-                        lambda t=self.sats[name], m=self.sat_merges[name], e=_union(frames),
-                        a=aff.get(name): m.apply_batch(
-                            t, e, batch_id, lineage=lineage, affected_buckets=a
-                        ),
-                    )
+                t, m, e, a = (
+                    self.sats[name],
+                    self.sat_merges[name],
+                    _union(frames),
+                    aff.get(name),
                 )
+                fn = lambda t=t, m=m, e=e, a=a: m.apply_batch(
+                    t, e, batch_id, lineage=lineage, affected_buckets=a
+                )
+                # one-ahead prefetch hooks for the laned replay: the sat's
+                # batch-side frame (dedup + hashdiff, the merge's one full
+                # shuffle) reads no table state, so a lane can materialize
+                # batch N+1's frame while batch N writes (_replay_laned)
+                fn.prepare = lambda t=t, m=m, e=e: m.prepare_batch(t, e)
+                fn.apply_prepared = lambda prep, t=t, m=m, e=e, a=a: m.apply_batch(
+                    t, e, batch_id, lineage=lineage, affected_buckets=a, prepared=prep
+                )
+                jobs.append((name, fn))
         return jobs
 
     def _valueset_jobs(
@@ -963,8 +972,41 @@ class Pipe:
                 lanes.setdefault(name, []).append((b, fn))
 
         def _run_lane(name: str) -> None:
-            for b, fn in lanes[name]:
-                outs[b][name] = fn()
+            jobs_l = lanes[name]
+            # one-ahead prefetch over the lane's prefetchable jobs (change-
+            # stream sats expose .prepare/.apply_prepared): batch N+1's
+            # dedup shuffle runs on a side thread while batch N writes,
+            # leaving only state-join + head/hist writes on the critical
+            # path. nxt chains prefetchable indices so empty-batch skip
+            # jobs in between don't break the pipeline; max_workers=1 +
+            # pop-on-use bounds the extra cached frames to one.
+            nxt: dict[int, int] = {}
+            prev: int | None = None
+            for i, (_b, fn) in enumerate(jobs_l):
+                if hasattr(fn, "prepare"):
+                    if prev is not None:
+                        nxt[prev] = i
+                    prev = i
+            if not nxt:
+                for b, fn in jobs_l:
+                    outs[b][name] = fn()
+                return
+            with ThreadPoolExecutor(max_workers=1) as pf_pool:
+                futs: dict[int, Any] = {}
+                try:
+                    for i, (b, fn) in enumerate(jobs_l):
+                        if i in nxt and nxt[i] not in futs:
+                            futs[nxt[i]] = pf_pool.submit(jobs_l[nxt[i]][1].prepare)
+                        if i in futs:
+                            outs[b][name] = fn.apply_prepared(futs.pop(i).result())
+                        else:
+                            outs[b][name] = fn()
+                finally:
+                    for f in futs.values():  # a failed merge must not leak
+                        try:  # the in-flight prefetched frame from the cache
+                            f.result()["batch"].unpersist()
+                        except Exception:
+                            pass
 
         if lanes:
             with ThreadPoolExecutor(max_workers=min(len(lanes), 16)) as pool:
