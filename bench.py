@@ -67,17 +67,37 @@ class NoiseProbe:
     (VERDICT r4: a uniformly-noisy host cost a round of comparability).
     ``probe_slow_share`` = share of windows below 80% of the run's own
     median spin rate — an objective host-steal marker; > ~0.1 means the
-    numbers were taken under contention and should not be compared."""
+    numbers were taken under contention and should not be compared.
 
-    def __init__(self, core: str = "31"):
+    The probe only measures HOST steal if the measured job cannot run on
+    the probe's core (noise_probe.py docstring: disjoint cores), so the
+    probe claims the box's last core and the bench process — hence the
+    child JVM, which inherits affinity — is restricted to the rest. On a
+    32-core box local[32] then overcommits 32 task threads onto 31 cores
+    (~3% slower), a fair price for a window label that does not flag the
+    bench's own load as contention (r5: an otherwise-quiet --full run
+    self-labeled 'noisy' at slow_share 0.12 because Spark shared core 31
+    with the probe)."""
+
+    def __init__(self):
         import subprocess
 
-        self.path = tempfile.mktemp(prefix="bench_probe_")
+        fd, self.path = tempfile.mkstemp(prefix="bench_probe_")
+        os.close(fd)
+        ncpu = os.cpu_count() or 1
+        self.core = ncpu - 1
+        if ncpu > 2:
+            try:
+                # restrict this process (and future children: the Spark JVM)
+                # away from the probe core; taskset-launched workers override
+                os.sched_setaffinity(0, set(range(ncpu)) - {self.core})
+            except (AttributeError, OSError):
+                pass
         probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tools", "noise_probe.py")
         cmd = [sys.executable, probe, self.path]
         if shutil.which("taskset"):
-            cmd = ["taskset", "-c", core] + cmd
+            cmd = ["taskset", "-c", str(self.core)] + cmd
         self.proc = subprocess.Popen(
             cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
         )
@@ -267,9 +287,12 @@ def main():
 
     import __spark_entry__ as entry
 
+    # probe BEFORE the Spark session: NoiseProbe restricts this process's
+    # affinity away from the probe core, and the JVM must be launched after
+    # that to inherit the restriction (an already-running JVM keeps its mask)
+    probe = NoiseProbe()
     spark = _fresh_spark(CPUS, "bench")
     queries = entry.queries()
-    probe = NoiseProbe()
 
     # headline: merge-apply throughput (warm-vs-warm — see _warmup_replay);
     # keep the vault for state reads
@@ -317,6 +340,10 @@ def main():
                 "merge_apply_events_per_sec": round(n_events / merge_sec, 1),
                 "merge_apply_n_events": n_events,
                 "replay_warmed_up": True,
+                # r5: the Spark JVM is kept off the probe core (NoiseProbe
+                # docstring) — costs ~3% of compute vs r4's layout but the
+                # window label now measures the HOST, not the bench itself
+                "probe_core_reserved": True,
                 **probe.stop(),
             }
         )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyelt_spark.operators.hubs import HubMerge, LinkMerge
+from pyelt_spark.operators.prefetch import run_lane_one_ahead
 from pyelt_spark.operators.scd2 import Scd2Merge, Scd2Table
 from pyelt_spark.plans.domain import (
     DynamicLinkReference,
@@ -47,6 +48,17 @@ from pyelt_spark.plans.domain import (
 from pyelt_spark.storage.lake import LakeTable
 
 ALL_PARTS = ["sor", "valuesets", "hubs", "views", "links", "viewlinks"]
+
+
+def _union(frames: list[DataFrame], allow_missing: bool = True) -> DataFrame:
+    """Fold per-mapping frames into one (multiple mappings targeting one
+    table write through a single job — single-writer commit protocol).
+    ``allow_missing=False`` where the frames are built to a fixed shape
+    (valuesets) so a drifting mapping fails loudly instead of null-filling."""
+    u = frames[0]
+    for f in frames[1:]:
+        u = u.unionByName(f, allowMissingColumns=allow_missing)
+    return u
 
 
 # --------------------------------------------------------------------------
@@ -552,12 +564,6 @@ class Pipe:
                 sat_evs.setdefault(name, []).append(sev)
                 sat_snap.setdefault(name, set()).add(snap)
 
-        def _union(frames: list[DataFrame]) -> DataFrame:
-            u = frames[0]
-            for f in frames[1:]:
-                u = u.unionByName(f, allowMissingColumns=True)
-            return u
-
         aff = getattr(self, "_affected", {})
 
         def _skip(name: str) -> bool:
@@ -644,9 +650,7 @@ class Pipe:
             by_name.setdefault(m.valueset_name, []).append(vs)
         jobs: list[tuple[str, Callable[[], dict]]] = []
         for name, frames in by_name.items():
-            u = frames[0]
-            for f in frames[1:]:
-                u = u.unionByName(f)
+            u = _union(frames, allow_missing=False)
             merge = HubMerge(
                 business_keys=["valueset_naam", "code"],
                 hub_type=f"valueset_{name}",
@@ -690,9 +694,7 @@ class Pipe:
         single-writer rationale as _grouped_entity_jobs)."""
         jobs = []
         for link_entity, frames in link_evs.items():
-            u = frames[0]
-            for f in frames[1:]:
-                u = u.unionByName(f, allowMissingColumns=True)
+            u = _union(frames)
             aff = getattr(self, "_affected", {}).get(link_entity.__dbname__)
             if aff == []:  # probe proved the batch feeds this link nothing
                 jobs.append(
@@ -752,9 +754,7 @@ class Pipe:
             + [s.hist for s in self.sats.values()]
         )
         for t in tables:
-            last = t.last_commit()
-            if last and any(len(d) > max_dirs_per_bucket for d in last.buckets.values()):
-                t.compact(max_versions_per_bucket=max_dirs_per_bucket)
+            t.compact_if_crowded(max_dirs_per_bucket)
         for s in self.sats.values():
             s.compact_head(max_dirs_per_bucket=max_dirs_per_bucket)
 
@@ -972,41 +972,17 @@ class Pipe:
                 lanes.setdefault(name, []).append((b, fn))
 
         def _run_lane(name: str) -> None:
-            jobs_l = lanes[name]
             # one-ahead prefetch over the lane's prefetchable jobs (change-
-            # stream sats expose .prepare/.apply_prepared): batch N+1's
-            # dedup shuffle runs on a side thread while batch N writes,
-            # leaving only state-join + head/hist writes on the critical
-            # path. nxt chains prefetchable indices so empty-batch skip
-            # jobs in between don't break the pipeline; max_workers=1 +
-            # pop-on-use bounds the extra cached frames to one.
-            nxt: dict[int, int] = {}
-            prev: int | None = None
-            for i, (_b, fn) in enumerate(jobs_l):
-                if hasattr(fn, "prepare"):
-                    if prev is not None:
-                        nxt[prev] = i
-                    prev = i
-            if not nxt:
-                for b, fn in jobs_l:
-                    outs[b][name] = fn()
-                return
-            with ThreadPoolExecutor(max_workers=1) as pf_pool:
-                futs: dict[int, Any] = {}
-                try:
-                    for i, (b, fn) in enumerate(jobs_l):
-                        if i in nxt and nxt[i] not in futs:
-                            futs[nxt[i]] = pf_pool.submit(jobs_l[nxt[i]][1].prepare)
-                        if i in futs:
-                            outs[b][name] = fn.apply_prepared(futs.pop(i).result())
-                        else:
-                            outs[b][name] = fn()
-                finally:
-                    for f in futs.values():  # a failed merge must not leak
-                        try:  # the in-flight prefetched frame from the cache
-                            f.result()["batch"].unpersist()
-                        except Exception:
-                            pass
+            # stream sats expose .prepare/.apply_prepared; shared machinery
+            # in operators/prefetch.py): batch N+1's dedup shuffle runs on
+            # a side thread while batch N writes, leaving only state-join +
+            # head/hist writes on the critical path. Empty-batch skip jobs
+            # in between don't break the pipeline — the chain links across
+            # them.
+            def emit(b: int, out: dict) -> None:
+                outs[b][name] = out
+
+            run_lane_one_ahead(lanes[name], emit)
 
         if lanes:
             with ThreadPoolExecutor(max_workers=min(len(lanes), 16)) as pool:

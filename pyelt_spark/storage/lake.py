@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -126,7 +127,15 @@ class LakeTable:
         # in-process commit-log cache: loaded once, appended on commit.
         # Single-writer assumption (one driver owns a table), matching the
         # commit protocol; reopen the table to see another writer's commits.
+        # The lock serializes cache population against the commit append —
+        # the laned replays' prefetch thread reads recipe()/commits() while
+        # the lane thread commits, and an unsynchronized first read could
+        # capture a pre-commit disk listing and assign it AFTER the commit
+        # appended, silently dropping that commit from the cache (the next
+        # version number would then be reused and os.rename would overwrite
+        # a published manifest).
         self._commits_cache: list[Commit] | None = None
+        self._commits_lock = threading.Lock()
 
     # ---------------------------------------------------------------- commits
 
@@ -134,14 +143,15 @@ class LakeTable:
         return os.path.join(self.path, "_commits")
 
     def commits(self) -> list[Commit]:
-        if self._commits_cache is None:
-            out = []
-            for name in sorted(os.listdir(self._commit_dir())):
-                if name.endswith(".json"):
-                    with open(os.path.join(self._commit_dir(), name)) as f:
-                        out.append(Commit.from_json(json.load(f)))
-            self._commits_cache = out
-        return self._commits_cache
+        with self._commits_lock:
+            if self._commits_cache is None:
+                out = []
+                for name in sorted(os.listdir(self._commit_dir())):
+                    if name.endswith(".json"):
+                        with open(os.path.join(self._commit_dir(), name)) as f:
+                            out.append(Commit.from_json(json.load(f)))
+                self._commits_cache = out
+            return self._commits_cache
 
     def last_commit(self) -> Commit | None:
         cs = self.commits()
@@ -333,8 +343,15 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(commit.to_json(), f)
         os.rename(tmp, os.path.join(self._commit_dir(), f"{version:012d}.json"))
-        if self._commits_cache is not None:
-            self._commits_cache.append(commit)
+        with self._commits_lock:
+            # version guard: a concurrent commits() population may have run
+            # between the rename above and this append, already listing the
+            # new manifest from disk — appending again would duplicate it
+            if self._commits_cache is not None and (
+                not self._commits_cache
+                or self._commits_cache[-1].version < commit.version
+            ):
+                self._commits_cache.append(commit)
         return commit
 
     def init_schema(self, schema: T.StructType, recipe: HashRecipe | None = None) -> None:

@@ -26,6 +26,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyelt_spark.operators.prefetch import run_lane_one_ahead
 from pyelt_spark.plans.pipeline import TranscriptVault
 
 
@@ -154,7 +155,13 @@ class MicrobatchRunner:
             "hub": (_hub, lambda: v.hub.compact_if_crowded()),
             "sat": (
                 _sat,
-                lambda: (v.sat.hist.compact_if_crowded(), v.sat.compact_head()),
+                # max_dirs_per_bucket=16 matches the serial path
+                # (pipeline.maintain) — compact_head's own default of 8
+                # would silently double MoR compaction frequency mid-replay
+                lambda: (
+                    v.sat.hist.compact_if_crowded(),
+                    v.sat.compact_head(max_dirs_per_bucket=16),
+                ),
             ),
             "link": (_link, lambda: v.link.compact_if_crowded()),
         }
@@ -180,63 +187,46 @@ class MicrobatchRunner:
                     on_batch(nb, _assemble(nb))
                     fired[0] += 1
 
-        # Sat-lane pipelining: the batch-side frame (the merge's one full
-        # shuffle — dedup + hashdiff) reads no table state, so batch N+1's
-        # frame is prefetched on a side thread while batch N's head/hist
-        # writes run. The sat lane is the replay's critical path (widest
-        # payload, head + hist writes per batch); hub/link merges are
-        # cheaper than the sat's write tail, so prefetching them would only
-        # add job-scheduler contention. One-ahead keeps at most one extra
-        # cached frame alive.
-        sat_pending = [b for b in pending if affected.get(b, {}).get("sat") != []]
+        # Sat-lane pipelining (operators/prefetch.py): the batch-side frame
+        # (the merge's one full shuffle — dedup + hashdiff) reads no table
+        # state, so batch N+1's frame is prefetched on a side thread while
+        # batch N's head/hist writes run. The sat lane is the replay's
+        # critical path (widest payload, head + hist writes per batch);
+        # hub/link merges are cheaper than the sat's write tail, so
+        # prefetching them would only add job-scheduler contention.
+        def _sat_job(b: int, aff: list[int] | None):
+            if aff == []:
+                return lambda: {"skipped_empty_batch": b}
 
-        def _sat_prepare(b: int) -> dict:
-            return sat_merge.prepare_batch(
+            def fn(prepared: dict | None = None) -> dict:
+                batch_df = events.filter(F.col(batch_col) == b)
+                return sat_merge.apply_batch(
+                    v.sat, batch_df, b, {}, aff, prepared=prepared
+                )
+
+            fn.prepare = lambda: sat_merge.prepare_batch(
                 v.sat, events.filter(F.col(batch_col) == b)
             )
-
-        def _run_sat_lane() -> None:
-            _, maintain = lanes["sat"]
-            nxt = {
-                b: sat_pending[i + 1]
-                for i, b in enumerate(sat_pending[:-1])
-            }
-            with ThreadPoolExecutor(max_workers=1) as pf_pool:
-                futs: dict[int, Any] = {}
-                try:
-                    for b in pending:
-                        aff = affected.get(b, {}).get("sat")
-                        if aff == []:
-                            results[("sat", b)] = {"skipped_empty_batch": b}
-                            _mark(b)
-                            continue
-                        if b in nxt and nxt[b] not in futs:
-                            futs[nxt[b]] = pf_pool.submit(_sat_prepare, nxt[b])
-                        prepared = futs.pop(b).result() if b in futs else None
-                        batch_df = events.filter(F.col(batch_col) == b)
-                        results[("sat", b)] = sat_merge.apply_batch(
-                            v.sat, batch_df, b, {}, aff, prepared=prepared
-                        )
-                        maintain()
-                        _mark(b)
-                finally:
-                    for f in futs.values():  # a failed merge must not leak
-                        try:  # the in-flight prefetched frame from the cache
-                            f.result()["batch"].unpersist()
-                        except Exception:
-                            pass
+            fn.apply_prepared = fn
+            return fn
 
         def _run_lane(name: str) -> None:
-            if name == "sat" and self.prefetch:
-                return _run_sat_lane()
             fn, maintain = lanes[name]
-            for b in pending:
-                aff = affected.get(b, {}).get(name)
-                results[(name, b)] = (
-                    {"skipped_empty_batch": b} if aff == [] else fn(b, aff)
-                )
+
+            def emit(b: int, out: dict) -> None:
+                results[(name, b)] = out
                 maintain()
                 _mark(b)
+
+            if name == "sat" and self.prefetch:
+                run_lane_one_ahead(
+                    [(b, _sat_job(b, affected.get(b, {}).get("sat"))) for b in pending],
+                    emit,
+                )
+                return
+            for b in pending:
+                aff = affected.get(b, {}).get(name)
+                emit(b, {"skipped_empty_batch": b} if aff == [] else fn(b, aff))
 
         with ThreadPoolExecutor(max_workers=len(lanes)) as pool:
             futs = [pool.submit(_run_lane, name) for name in lanes]

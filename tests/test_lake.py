@@ -97,3 +97,73 @@ def test_time_travel_read_version(spark, tmp_path):
     assert t.read_version(2).count() == 15
     with pytest.raises(ValueError, match="no commit version"):
         t.read_version(99)
+
+
+def test_commits_cache_population_race_with_commit(spark, tmp_path):
+    """A reader thread populating the commits cache concurrently with a
+    writer thread committing must not lose the new commit (r5: the laned
+    replays' prefetch thread reads recipe()/commits() while the lane
+    thread commits — an unsynchronized population could capture a
+    pre-commit disk listing and assign it AFTER the append, dropping the
+    commit from the cache and letting the next version overwrite a
+    published manifest). Deterministically forces the worst interleaving
+    by blocking the reader's directory listing until the writer has
+    committed."""
+    import threading
+
+    t = LakeTable(spark, str(tmp_path / "race"), num_buckets=4)
+    d1 = _df(spark, range(6))
+    b1 = [r[0] for r in d1.select(BUCKET_COL).distinct().collect()]
+    t.commit(d1, b1, batch_id=1)
+    t._commits_cache = None  # fresh handle state: next commits() re-lists
+
+    writer_done = threading.Event()
+    reader_listing = threading.Event()
+    real_listdir = os.listdir
+
+    def slow_listdir(path):
+        out = real_listdir(path)
+        if path.endswith("_commits") and not writer_done.is_set():
+            reader_listing.set()
+            # hold the pre-commit listing. Unfixed, the writer commits
+            # within this window and the reader then assigns its stale
+            # listing over the appended cache (the bug). Fixed, the writer
+            # blocks on the commits lock until the reader releases it, so
+            # this wait just times out and both orders serialize correctly.
+            writer_done.wait(timeout=2.5)
+        return out
+
+    d2 = _df(spark, range(6, 9))
+    b2 = [r[0] for r in d2.select(BUCKET_COL).distinct().collect()]
+
+    def writer():
+        reader_listing.wait(timeout=30)
+        t.commit(d2, b2, batch_id=2, mode="append")
+        writer_done.set()
+
+    import pyelt_spark.storage.lake as lake_mod
+
+    errs = []
+
+    def reader():
+        try:
+            lake_mod.os.listdir = slow_listdir
+            t.commits()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+        finally:
+            lake_mod.os.listdir = real_listdir
+
+    rt = threading.Thread(target=reader)
+    wt = threading.Thread(target=writer)
+    rt.start()
+    wt.start()
+    rt.join(timeout=60)
+    wt.join(timeout=60)
+    assert not errs
+    # the cache must contain batch 2's commit exactly once, and the next
+    # version number must not reuse/overwrite a published manifest
+    versions = [c.version for c in t.commits()]
+    assert sorted(versions) == sorted(set(versions))
+    assert t.last_commit().batch_id == 2
+    assert t.read().count() == 9
