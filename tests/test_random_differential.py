@@ -239,3 +239,42 @@ def test_engine_matches_simulator_under_schema_evolution(spark, tmp_path):
         f"engine={len(got)} sim={len(want)}; "
         f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
     )
+
+
+def test_laned_replay_matches_serial_on_adversarial_stream(spark, tmp_path):
+    """The laned+prefetching replay orchestration (per-table batch chains,
+    one-ahead sat prefetch, probe-proven empty-batch skips) must land the
+    same vault state as the serial per-batch loop on an ADVERSARIAL stream
+    — duplicates, cross-batch stale seqs, deletes, reinserts — not just
+    the fixed generator's golden paths (r5: the orchestration rewrite)."""
+    from pyelt_spark.plans.pipeline import TranscriptVault
+    from pyelt_spark.streaming.runner import MicrobatchRunner
+
+    rng = random.Random(20260817)
+    events = _gen_stream(rng, n_events=300, n_keys=20, n_batches=6)
+    # ~20% tool turns so the link lane has real work; leave at least one
+    # batch tool-less by chance to exercise the zero-job link skip
+    for e in events:
+        if rng.random() < 0.2:
+            e["tool"] = f"tool{rng.randrange(3)}"
+    schema = (
+        "seq long, conv_id string, turn_idx int, role string, text string, "
+        "tool string, op string, ts timestamp, batch_id long"
+    )
+    cols = ["seq", "conv_id", "turn_idx", "role", "text", "tool", "op", "ts", "batch_id"]
+    df = spark.createDataFrame([tuple(e[c] for c in cols) for e in events], schema)
+
+    laned = TranscriptVault(spark, str(tmp_path / "laned"), num_buckets=4)
+    MicrobatchRunner(laned).replay(df)
+
+    serial = TranscriptVault(spark, str(tmp_path / "serial"), num_buckets=4)
+    for b in sorted({e["batch_id"] for e in events}):
+        serial.apply_batch(df.filter(f"batch_id = {b}"), int(b))
+
+    for name in ("hub", "link"):
+        a = getattr(laned, name).read()
+        c = getattr(serial, name).read()
+        assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0, name
+    a = laned.sat.read().drop("_bucket")
+    c = serial.sat.read().drop("_bucket")
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
