@@ -84,22 +84,36 @@ class NoiseProbe:
 
         fd, self.path = tempfile.mkstemp(prefix="bench_probe_")
         os.close(fd)
-        ncpu = os.cpu_count() or 1
-        self.core = ncpu - 1
-        if ncpu > 2:
+        # derive both the probe core and the restricted mask from the
+        # CURRENT allowed set, not cpu_count: an externally pinned or
+        # cgroup-cpuset-limited bench must not be silently unpinned, and
+        # the probe core must be one the process may actually use
+        try:
+            allowed = os.sched_getaffinity(0)
+        except (AttributeError, OSError):
+            allowed = set(range(os.cpu_count() or 1))
+        self.core = max(allowed)
+        self.reserved = False
+        if len(allowed) > 2:
             try:
-                # restrict this process (and future children: the Spark JVM)
-                # away from the probe core; taskset-launched workers override
-                os.sched_setaffinity(0, set(range(ncpu)) - {self.core})
+                os.sched_setaffinity(0, allowed - {self.core})
+                self.reserved = True
             except (AttributeError, OSError):
                 pass
         probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "tools", "noise_probe.py")
         cmd = [sys.executable, probe, self.path]
-        if shutil.which("taskset"):
-            cmd = ["taskset", "-c", str(self.core)] + cmd
+        pin = None
+        if self.reserved:
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", str(self.core)] + cmd
+            else:
+                # without taskset the child would inherit the RESTRICTED
+                # mask and spin on the bench cores — pin it ourselves
+                pin = lambda: os.sched_setaffinity(0, {self.core})  # noqa: E731
         self.proc = subprocess.Popen(
-            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            preexec_fn=pin,
         )
 
     def stop(self) -> dict:
@@ -346,8 +360,10 @@ def main():
                 "replay_warmed_up": True,
                 # r5: the Spark JVM is kept off the probe core (NoiseProbe
                 # docstring) — costs ~3% of compute vs r4's layout but the
-                # window label now measures the HOST, not the bench itself
-                "probe_core_reserved": True,
+                # window label now measures the HOST, not the bench itself.
+                # False = the restriction could not be applied (non-Linux,
+                # tiny cpuset) and the window label may include self-load
+                "probe_core_reserved": probe.reserved,
                 **probe.stop(),
             }
         )

@@ -138,9 +138,9 @@ class MicrobatchRunner:
             ups = op_filter(events.filter(F.col(batch_col) == b))
             return v.hub_merge.apply_batch(v.hub, ups, b, aff)
 
-        def _sat(b: int, aff: list[int] | None) -> dict:
+        def _sat(b: int, aff: list[int] | None, prepared: dict | None = None) -> dict:
             batch_df = events.filter(F.col(batch_col) == b)
-            return sat_merge.apply_batch(v.sat, batch_df, b, {}, aff)
+            return sat_merge.apply_batch(v.sat, batch_df, b, {}, aff, prepared=prepared)
 
         def _link(b: int, aff: list[int] | None) -> dict:
             ups = op_filter(events.filter(F.col(batch_col) == b)).filter(
@@ -199,10 +199,9 @@ class MicrobatchRunner:
                 return lambda: {"skipped_empty_batch": b}
 
             def fn(prepared: dict | None = None) -> dict:
-                batch_df = events.filter(F.col(batch_col) == b)
-                return sat_merge.apply_batch(
-                    v.sat, batch_df, b, {}, aff, prepared=prepared
-                )
+                # one sat invocation shared by both prefetch states — a
+                # divergence here is the class the parity tests pin
+                return _sat(b, aff, prepared)
 
             fn.prepare = lambda: sat_merge.prepare_batch(
                 v.sat, events.filter(F.col(batch_col) == b)

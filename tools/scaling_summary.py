@@ -40,7 +40,7 @@ for n in sorted(by):
             heap = r.get("heap", DEFAULT_HEAP)
             tag = "" if heap == DEFAULT_HEAP else f"  [heap {heap}: excluded]"
             if not r.get("prefetch", True):
-                tag = "  [prefetch off: excluded]"
+                tag += "  [prefetch off: excluded]"
             print(
                 f"  {cpus}c: {r['sec']:8.1f}s  {r['events_per_sec']:10,.0f} ev/s  {probe}  ts={r.get('ts')}{tag}"
             )
