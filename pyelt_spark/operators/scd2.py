@@ -212,7 +212,8 @@ class Scd2Merge:
     # ----------------------------------------------------------------- merge
 
     def _build_batch(
-        self, table: Scd2Table, events: DataFrame, recipe: HashRecipe
+        self, table: Scd2Table, events: DataFrame, recipe: HashRecipe,
+        do_persist: bool = False,
     ) -> DataFrame:
         """Batch-side frame of a merge: latest-per-key dedup, hash key,
         versioned hashdiffs, bucket, op column — PERSISTED (caller
@@ -244,7 +245,15 @@ class Scd2Merge:
             if self.op_col and self.op_col in batch.columns
             else F.lit("U")
         )
-        return batch.withColumn("_op", op).persist()
+        out = batch.withColumn("_op", op)
+        # persist only when the caller materializes the frame ahead of its
+        # merge (prefetch): there the cache IS the hand-off. The inline path
+        # skips it — the frame's one consumer is the verdict join (itself
+        # persisted), and a columnar cache fill costs ~2-3x the aggregate
+        # it would save (measured at sf1.0: ~15 CPU-s fill vs ~6 CPU-s
+        # reduce-side recompute; guide §5: cache only when recompute is
+        # dearer than the memory pressure).
+        return out.persist() if do_persist else out
 
     def prepare_batch(
         self, table: Scd2Table, events: DataFrame
@@ -259,9 +268,17 @@ class Scd2Merge:
         recipe version still matches (schema evolution between prefetch
         and merge rebuilds instead) and unpersists it either way."""
         recipe = self._evolved_recipe(events, table)
-        batch = self._build_batch(table, events, recipe)
+        batch = self._build_batch(table, events, recipe, do_persist=True)
         batch.count()
-        return {"batch": batch, "recipe_version": recipe.current_version}
+        return {
+            "batch": batch,
+            "recipe_version": recipe.current_version,
+            # adoption requires the COLUMN LIST too: two distinct evolutions
+            # can collide on the integer version (e.g. a concurrent commit
+            # adding a different column set), and adopting then would mean
+            # hashdiffs computed over the wrong columns (ADVICE r5)
+            "recipe_cols": list(recipe.current_cols),
+        }
 
     def apply_batch(
         self,
@@ -296,7 +313,11 @@ class Scd2Merge:
         # 1. batch-side frame: adopt the prefetched one when its recipe is
         #    still current (the stream's schema didn't evolve between
         #    prefetch and merge), else build inline
-        if prepared is not None and prepared["recipe_version"] == recipe.current_version:
+        if (
+            prepared is not None
+            and prepared["recipe_version"] == recipe.current_version
+            and prepared.get("recipe_cols", recipe.current_cols) == recipe.current_cols
+        ):
             batch = prepared["batch"]
         else:
             if prepared is not None:
@@ -321,7 +342,15 @@ class Scd2Merge:
                 .withColumn("_st_seq", F.lit(None).cast("long"))
             )
         else:
-            head_state = table.head_read(buckets=affected).persist()
+            # NOT persisted: scanned exactly twice (the verdict join's
+            # per_key side here, the head-rewrite join in _stage_rewrite),
+            # and two pruned parquet scans cost a fraction of one columnar
+            # cache fill (measured at sf1.0: ~3 CPU-s/scan vs ~15 CPU-s
+            # fill). MoR heads collapse through an aggregate, so the
+            # recompute is dearer — keep the cache there.
+            head_state = table.head_read(buckets=affected)
+            if table.mor:
+                head_state = head_state.persist()
             per_key = head_state.select(
                 F.col(s.key),
                 F.col(s.active).alias("_st_active"),
@@ -377,6 +406,32 @@ class Scd2Merge:
             j.unpersist()
             if head_state is not None:
                 head_state.unpersist()
+
+        try:
+            return self._classify_and_commit(
+                table, j, head_state, batch, batch_id, lineage, affected, recipe
+            )
+        finally:
+            # ADVICE r5: an exception mid-merge (classify/stage/commit) must
+            # not leak the persisted frames — under the laned replays a
+            # failed lane otherwise strands up to two batch frames per lane
+            # in the executor cache
+            _cleanup()
+
+    def _classify_and_commit(
+        self,
+        table: Scd2Table,
+        j: DataFrame,
+        head_state: DataFrame | None,
+        batch: DataFrame,
+        batch_id: int,
+        lineage: dict[str, Any] | None,
+        affected: list[int],
+        recipe: HashRecipe,
+    ) -> dict[str, Any]:
+        s = self.sys
+        payload = recipe.current_cols
+        seq_expr = F.col(self.order_by[0]).cast("long")
 
         # 4. new head versions (insert / update / reinsert) — no bucket
         #    filter: a changed row's bucket is by definition a written
@@ -473,7 +528,6 @@ class Scd2Merge:
             mode="append" if table.mor else "overwrite",
             staged=staged_head,
         )
-        _cleanup()
         return metrics
 
     def _stage_rewrite(
@@ -487,10 +541,11 @@ class Scd2Merge:
         seq_expr,
     ) -> tuple[dict, dict | None]:
         """Build the head-rewrite + history frames and stage BOTH tables'
-        data files concurrently (two overlapping Spark write jobs over the
-        shared cached verdict join; per-partition block locking means the
-        join is computed once). Nothing is published yet — the caller
-        publishes manifests in crash-safe order after deriving metrics."""
+        data files — fused into ONE write job over the shared cached verdict
+        join for copy-on-write tables (lake.stage_with: one exchange keyed
+        (dest, bucket) instead of two), two overlapping jobs otherwise.
+        Nothing is published yet — the caller publishes manifests in
+        crash-safe order after deriving metrics."""
         s = self.sys
 
         # per-key change directives for the head rewrite
@@ -575,10 +630,17 @@ class Scd2Merge:
             # supersession stamp: reads keep each key's max-_cv row
             new_head = new_head.withColumn(MOR_CV, F.lit(batch_id).cast("long"))
 
-        # stage both tables' data files concurrently. A resumed torn batch
-        # whose history append already committed skips the hist stage.
+        # stage both tables' data files in ONE Spark job (one exchange, one
+        # write — lake.stage_with; guide §2.4: two same-keyed writes share
+        # one exchange). A resumed torn batch whose history append already
+        # committed skips the hist stage. MoR keeps the two-job path: its
+        # head frame carries the supersession stamp the hist must not.
         hist_needed = batch_id not in table.hist.committed_batch_ids()
-        if hist_needed:
+        if hist_needed and not table.mor:
+            staged_head, staged_hist = table.head.stage_with(
+                table.hist, new_head, hist_rows, affected
+            )
+        elif hist_needed:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:

@@ -619,7 +619,13 @@ class Pipe:
                 # one-ahead prefetch hooks for the laned replay: the sat's
                 # batch-side frame (dedup + hashdiff, the merge's one full
                 # shuffle) reads no table state, so a lane can materialize
-                # batch N+1's frame while batch N writes (_replay_laned)
+                # batch N+1's frame while batch N writes (_replay_laned).
+                # Already-committed batches (torn-crash resume) get no hooks:
+                # apply_batch skips them before touching the frame, so a
+                # prefetch would be a wasted full shuffle (ADVICE r5)
+                if batch_id in t.committed_batch_ids():
+                    jobs.append((name, fn))
+                    continue
                 fn.prepare = lambda t=t, m=m, e=e: m.prepare_batch(t, e)
                 fn.apply_prepared = lambda prep, t=t, m=m, e=e, a=a: m.apply_batch(
                     t, e, batch_id, lineage=lineage, affected_buckets=a, prepared=prep
@@ -853,23 +859,37 @@ class Pipe:
                     )
                 )
         affected: dict[int, dict[str, list[int]]] = {}
-        if probe_frames:
-            allp = probe_frames[0]
-            for pf in probe_frames[1:]:
-                allp = allp.unionByName(pf)
-            rows = (
-                allp.select("_b", F.col("s.t").alias("t"), F.col("s.k").alias("k"))
-                .filter(F.col("k").isNotNull())
-                .distinct()
-                .collect()
+        # the raw stream rides along as one more probe branch (t/k null), so
+        # batch-id discovery shares the probe job — one action over the
+        # stream instead of two (guide §1.2: fewer passes; the runner's
+        # replay has always fused these)
+        probe_frames.append(
+            events.select(
+                F.col(batch_col).alias("_b"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(None).cast("string").alias("t"),
+                            F.lit(None).cast("int").alias("k"),
+                        )
+                    )
+                ).alias("s"),
             )
-            for r in rows:
+        )
+        allp = probe_frames[0]
+        for pf in probe_frames[1:]:
+            allp = allp.unionByName(pf)
+        rows = (
+            allp.select("_b", F.col("s.t").alias("t"), F.col("s.k").alias("k"))
+            .distinct()
+            .collect()
+        )
+        ids = sorted({r["_b"] for r in rows})
+        for r in rows:
+            if r["k"] is not None:
                 affected.setdefault(int(r["_b"]), {}).setdefault(r["t"], []).append(
                     int(r["k"])
                 )
-        ids = [
-            r[0] for r in events.select(batch_col).distinct().orderBy(batch_col).collect()
-        ]
         # a fully-probed table with no probe hits in a batch has provably no
         # input rows there: record the empty bucket list so the batch's
         # merge for that table is skipped without any Spark job
@@ -970,6 +990,10 @@ class Pipe:
             run_recs.append(self._runs_start(b, parts_l))
             for name, fn in jobs:
                 lanes.setdefault(name, []).append((b, fn))
+        # job closures captured their batch's map at build time; reset the
+        # instance attribute so a later run() on this Pipe starts clean
+        # (ADVICE r5)
+        self._affected = {}
 
         def _run_lane(name: str) -> None:
             # one-ahead prefetch over the lane's prefetchable jobs (change-

@@ -256,6 +256,85 @@ class LakeTable:
             "schema_json": json.loads(new_data.schema.json()),
         }
 
+    def stage_with(
+        self,
+        other: "LakeTable",
+        own_data: DataFrame,
+        other_data: DataFrame,
+        affected_buckets: list[int],
+    ) -> tuple[dict, dict]:
+        """Stage this table's AND ``other``'s next-version data files in ONE
+        Spark job (one exchange, one write), returning ``(own_staged,
+        other_staged)`` handles shaped exactly like :meth:`stage`'s.
+
+        Motivation (guide §2.4/§2.6): an SCD2 merge stages a head rewrite
+        and a history append from the same cached verdict join; as two
+        write jobs they each pay an exchange, a scheduler round-trip and —
+        under a laned replay — contention with every other lane's jobs.
+        Fused, the two frames union under a ``_dest`` tag, one hash
+        exchange on (dest, bucket) partitions them, and ``partitionBy``
+        splits the output per destination; the staged dirs are then
+        renamed into each table's own ``data/v{N}`` (same filesystem by
+        construction — both tables live under one Scd2Table root). Nothing
+        is published: manifests still commit separately, in the caller's
+        crash-safe order, so the protocol is unchanged.
+
+        Requires identical column sets on both frames (the merge aligns
+        them); the frames keep their own schemas in the returned handles.
+        """
+        own_last, other_last = self.last_commit(), other.last_commit()
+        own_ver = (own_last.version + 1) if own_last else 1
+        other_ver = (other_last.version + 1) if other_last else 1
+        own_rel = os.path.join("data", f"v{own_ver}")
+        other_rel = os.path.join("data", f"v{other_ver}")
+        tmp = os.path.join(self.path, "data", f".pair-{uuid.uuid4().hex}")
+        dest = "_dest_p"
+        u = own_data.withColumn(dest, F.lit("a")).unionByName(
+            other_data.withColumn(dest, F.lit("b"))
+        )
+        (
+            u.withColumn(_PART_COL, F.col(BUCKET_COL))
+            .repartition(
+                max(2 * len(affected_buckets), 2), F.col(dest), F.col(BUCKET_COL)
+            )
+            .write.partitionBy(dest, _PART_COL)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+
+        def _adopt(
+            tag: str, table: "LakeTable", version: int, rel_dir: str, frame: DataFrame
+        ) -> dict:
+            out_dir = os.path.join(table.path, rel_dir)
+            src = os.path.join(tmp, f"{dest}={tag}")
+            written: set[int] = set()
+            rows_per_bucket: dict[int, int] = {}
+            if os.path.isdir(src):
+                os.makedirs(out_dir, exist_ok=True)
+                for name in os.listdir(src):
+                    if not name.startswith(f"{_PART_COL}="):
+                        continue
+                    b = int(name.split("=", 1)[1])
+                    tgt = os.path.join(out_dir, name)
+                    shutil.rmtree(tgt, ignore_errors=True)  # retry overwrite
+                    os.rename(os.path.join(src, name), tgt)
+                    written.add(b)
+                    rows_per_bucket[b] = _footer_row_count(tgt)
+            return {
+                "version": version,
+                "rel_dir": rel_dir,
+                "written_buckets": written,
+                "rows_per_bucket": rows_per_bucket,
+                "schema_json": json.loads(frame.schema.json()),
+            }
+
+        try:
+            own_staged = _adopt("a", self, own_ver, own_rel, own_data)
+            other_staged = _adopt("b", other, other_ver, other_rel, other_data)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return own_staged, other_staged
+
     def commit(
         self,
         new_data: DataFrame | None,

@@ -203,6 +203,13 @@ class MicrobatchRunner:
                 # divergence here is the class the parity tests pin
                 return _sat(b, aff, prepared)
 
+            # a torn-crash resume re-walks sat-committed batches (the done
+            # set intersects all tables); apply_batch skips them before
+            # touching the frame, so prefetching one would be a wasted
+            # full dedup+hashdiff shuffle (ADVICE r5) — no hooks for them
+            if b in v.sat.committed_batch_ids():
+                return fn
+
             fn.prepare = lambda: sat_merge.prepare_batch(
                 v.sat, events.filter(F.col(batch_col) == b)
             )
