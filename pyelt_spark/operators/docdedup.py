@@ -102,36 +102,6 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     return _shingle_rows_raw(df, id_col, text_col, n).distinct()
 
 
-def _verify_jaccard(
-    cand: DataFrame, sh_rows: DataFrame, threshold: float
-) -> DataFrame:
-    """Exact Jaccard for candidate pairs (a,b) from exploded shingle rows:
-    |A∩B| via a join on shingle equality, sizes via groupBy — no arrays
-    shipped through any join. ``sh_rows`` may be pre-restricted to the
-    candidate docs (both ends of every pair must be present)."""
-    sizes = sh_rows.groupBy("_id").agg(F.count("*").alias("_n"))
-    A = sh_rows.select(F.col("_id").alias("a"), F.col("_s"))
-    B = sh_rows.select(F.col("_id").alias("b"), F.col("_s"))
-    common = (
-        cand.join(A, "a").join(B, ["b", "_s"]).groupBy("a", "b").agg(F.count("*").alias("_inter"))
-    )
-    sa = sizes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
-    return (
-        common.join(sa, "a").join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("jaccard"))
-    )
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -148,25 +118,61 @@ def ngram_jaccard_pairs(
     sets, so the cap only bounds candidate GENERATION, not verification.
     """
     sh_rows = _shingle_rows(df, id_col, text_col, n).persist()
-    # count-only aggregate → rare-shingle set → semi-join → self-join on the
-    # shingle. No per-shingle id arrays anywhere: a hot shingle shared by
-    # millions of docs costs one counter in the aggregate, not an id-list
-    # buffer (ADVICE r1 — collect_list before the filter was the OOM path)
-    rare = (
-        sh_rows.groupBy("_s")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_docfreq)
-        .select("_s")
-    )
+    # count-only aggregate → rare-shingle set → semi-join → self-join. No
+    # per-shingle id arrays anywhere: a hot shingle shared by millions of
+    # docs costs one counter in the aggregate, not an id-list buffer
+    # (ADVICE r1 — collect_list before the filter was the OOM path).
+    #
+    # |A∩B| comes straight off the self-join: shingle sets are distinct
+    # per doc, so the join emits EXACTLY one row per shared rare shingle
+    # and a count aggregate over it is the rare-side intersection — the
+    # former per-pair verification re-join expanded every candidate pair
+    # by its full shingle set (|pairs|x|shingles/doc| rows; 59M at sf0.1,
+    # ~200 CPU-s) to recount what this join had already seen. Only HOT
+    # shingles (df > cap, excluded from the index, still part of the
+    # oracle's full-set Jaccard) go through a pair join — bounded by
+    # candidate pairs x hot-shingles-per-doc, and empty whenever no
+    # shingle exceeds the cap.
+    freq = sh_rows.groupBy("_s").agg(F.count("*").alias("_df"))
+    rare = freq.filter(F.col("_df") <= max_docfreq).select("_s")
     idx = sh_rows.join(rare, "_s", "left_semi")
-    cand = (
+    pairs = (
         idx.alias("x")
         .join(idx.alias("y"), "_s")
         .filter(F.col("x._id") < F.col("y._id"))
-        .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
-        .distinct()
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count("*").alias("_ir"))
     )
-    return _verify_jaccard(cand, sh_rows, threshold)
+    hot = freq.filter(F.col("_df") > max_docfreq).select("_s")
+    hot_rows = sh_rows.join(hot, "_s", "left_semi")
+    Ha = hot_rows.select(F.col("_id").alias("a"), "_s")
+    Hb = hot_rows.select(F.col("_id").alias("b"), "_s")
+    inter_hot = (
+        pairs.select("a", "b")
+        .join(Ha, "a")
+        .join(Hb, ["b", "_s"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("_ih"))
+    )
+    sizes = sh_rows.groupBy("_id").agg(F.count("*").alias("_n"))
+    sa = sizes.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(inter_hot, ["a", "b"], "left")
+        .withColumn("_inter", F.col("_ir") + F.coalesce(F.col("_ih"), F.lit(0)))
+        .join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), F.col("jaccard"))
+    )
 
 
 def minhash_signature(text_col: str | Column, num_perm: int = 12, n: int = 5) -> Column:
@@ -222,18 +228,25 @@ def minhash_lsh_pairs(
     """
     assert num_perm <= 12
     rows_per_band = num_perm // bands
+    # Distinct BEFORE hashing, and cache the raw shingle string: the dedup
+    # aggregate then hashes/compares ~25-char shingles instead of 128-char
+    # hex, and the cached lineage is ~5x narrower (guide §2.3: shuffle
+    # fewer bytes — the distinct reuses the window's hash(_id)
+    # partitioning, so this IS its shuffle). The sha pair is computed once,
+    # in the signature aggregate's input projection; the verify joins use
+    # an 8-byte xxhash64 of the shingle as its identity instead of the
+    # 128-char hex (injective in practice, same role the sha hex played).
     dist = (
         _shingle_rows_raw(df, id_col, text_col, n)
-        .select(
-            "_id",
-            F.concat(
-                F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)
-            ).alias("_hx"),
-        )
         .distinct()  # per-doc set semantics; no exchange (hash(_id) ⊆ keys)
         .persist()
     )
-    sig = dist.groupBy("_id").agg(
+    sig = dist.select(
+        "_id",
+        F.concat(
+            F.sha2(F.col("_s"), 256), F.sha2(F.concat(F.col("_s"), F.lit("#")), 256)
+        ).alias("_hx"),
+    ).groupBy("_id").agg(
         *[
             F.min(F.substring("_hx", 1 + 10 * i, 10)).alias(f"_m{i}")
             for i in range(num_perm)
@@ -272,14 +285,24 @@ def minhash_lsh_pairs(
             F.col("x._n").alias("_na"), F.col("y._n").alias("_nb"),
         )
     )
-    A = dist.select(F.col("_id").alias("a"), "_hx")
-    B = dist.select(F.col("_id").alias("b"), "_hx")
+    A = dist.select(F.col("_id").alias("a"), F.xxhash64("_s").alias("_h8"))
+    B = dist.select(F.col("_id").alias("b"), F.xxhash64("_s").alias("_h8"))
+    # the pair list and the candidate-doc id set are candidate-bounded
+    # (banded LSH bounds the fan-out — module docstring); broadcasting
+    # them keeps both corpus-sized shingle sides out of every exchange
+    # (broadcast hash join against A; semi-join restriction of B), so the
+    # one shuffled join below carries only candidate-doc shingles — and
+    # the pre-shuffle AQE materialization rounds the full-side exchanges
+    # would cost disappear from the cold wall.
+    b_docs = cand.select(F.col("b").alias("_id")).distinct()
     common = (
-        cand.join(A, "a")
-        .join(B, ["b", "_hx"])
+        F.broadcast(cand)
+        .join(A, "a")
+        .join(B.join(F.broadcast(b_docs), B["b"] == b_docs["_id"], "left_semi"),
+              ["b", "_h8"])
         .groupBy("a", "b")
         .agg(
-            F.count_distinct("_hx").alias("_inter"),
+            F.count_distinct("_h8").alias("_inter"),
             F.min("_na").alias("_na"),
             F.min("_nb").alias("_nb"),
         )
@@ -618,8 +641,12 @@ def embedding_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # broadcast the candidate-pair list into both verify joins: the vector
+    # payloads then never cross an exchange (guide §3.3: don't ship heavy
+    # array columns through a shuffled join), and the first join's output —
+    # candidate-bounded, pairs x one vector — broadcasts into the second
     return (
-        cand.join(a, "doc_a")
+        F.broadcast(F.broadcast(cand).join(a, "doc_a"))
         .join(b, "doc_b")
         .withColumn("cosine", F.round(dot / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
