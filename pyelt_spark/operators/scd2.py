@@ -41,6 +41,7 @@ Everything is JVM column expressions — no per-row Python.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 from typing import Any
@@ -269,9 +270,12 @@ class Scd2Merge:
         and merge rebuilds instead) and unpersists it either way."""
         recipe = self._evolved_recipe(events, table)
         batch = self._build_batch(table, events, recipe, do_persist=True)
-        batch.count()
+        # the materializing action doubles as the per-bucket key census
+        # (manifest lineage) — same one job a bare count() would be
+        rows = batch.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
         return {
             "batch": batch,
+            "bucket_counts": {str(int(r[0])): int(r["n"]) for r in rows},
             "recipe_version": recipe.current_version,
             # adoption requires the COLUMN LIST too: two distinct evolutions
             # can collide on the integer version (e.g. a concurrent commit
@@ -324,13 +328,36 @@ class Scd2Merge:
                 prepared["batch"].unpersist()
             batch = self._build_batch(table, events, recipe)
 
-        # 2. affected-bucket discovery → pruned HEAD read (one row per key)
-        affected = (
-            [int(b) for b in affected_buckets]
-            if affected_buckets is not None
-            else [r[0] for r in batch.select(BUCKET_COL).distinct().collect()]
-        )
+        # 2. affected-bucket discovery → pruned HEAD read (one row per key).
+        #    When the discovery action runs anyway (no precomputed superset)
+        #    it returns per-bucket key counts for the manifest's lineage;
+        #    prefetched frames carry the same counts from their own
+        #    materializing action (prepare_batch).
+        bucket_counts: dict[str, int] = {}
+        if affected_buckets is not None:
+            affected = [int(b) for b in affected_buckets]
+            if prepared is not None and batch is prepared.get("batch"):
+                bucket_counts = prepared.get("bucket_counts", {})
+        else:
+            rows = batch.groupBy(BUCKET_COL).agg(F.count("*").alias("n")).collect()
+            affected = [int(r[0]) for r in rows]
+            bucket_counts = {str(int(r[0])): int(r["n"]) for r in rows}
         first_load = table.last_commit() is None or not table.last_commit().buckets
+
+        if not table.mor:
+            # single-pass copy-on-write merge: ONE full-outer join of batch
+            # and head classified once, exploded into head + history rows,
+            # staged in ONE write job with observe()-collected metrics —
+            # no per-merge cache fills, no separate metrics action, no
+            # second head scan, no head-rewrite join (guide §1.2: remove
+            # passes before tuning inside them)
+            try:
+                return self._apply_cow(
+                    table, batch, batch_id, lineage, affected, recipe,
+                    first_load, bucket_counts,
+                )
+            finally:
+                batch.unpersist()
 
         if first_load:
             head_state = None
@@ -417,6 +444,249 @@ class Scd2Merge:
             # failed lane otherwise strands up to two batch frames per lane
             # in the executor cache
             _cleanup()
+
+    def _apply_cow(
+        self,
+        table: Scd2Table,
+        batch: DataFrame,
+        batch_id: int,
+        lineage: dict[str, Any] | None,
+        affected: list[int],
+        recipe: HashRecipe,
+        first_load: bool,
+        bucket_counts: dict[str, int],
+    ) -> dict[str, Any]:
+        """Single-pass copy-on-write merge.
+
+        ``batch FULL OUTER JOIN head`` yields every row the merge must
+        reason about exactly once (batch is deduped to one row per key,
+        the head holds one row per key): batch-only rows are inserts,
+        both-sides rows classify by hashdiff/stale/op, head-only rows are
+        untouched carry-forwards. Each joined row then emits its outputs
+        directly — at most one new-or-kept HEAD row and at most one
+        closed HISTORY row — through one explode, and one tagged write
+        job stages both tables (lake.stage_tagged). Merge metrics ride
+        the same job as ``observe()`` aggregates, so the whole merge is
+        ONE Spark action (plus the prefetched batch build): the previous
+        shape paid a verdict-join cache fill, a metrics collect, a second
+        head scan and a head-rewrite join per batch — pure overhead at
+        microbatch sizes, measured at 2-3x this path's CPU at sf1.0."""
+        from pyspark.sql import Observation
+
+        s = self.sys
+        payload = recipe.current_cols
+        seq_expr = F.col(self.order_by[0]).cast("long")
+        hist_needed = batch_id not in table.hist.committed_batch_ids()
+        bcols = set(batch.columns)
+        batch_types = dict(batch.dtypes)
+
+        if first_load:
+            head_types: dict[str, str] = {}
+            fo = batch.withColumn("_in_batch", F.lit(True))
+        else:
+            head_state = table.head_read(buckets=affected)
+            head_types = dict(head_state.dtypes)
+            h = head_state.select(
+                *[F.col(c).alias(f"_h_{c}") for c in head_state.columns]
+            )
+            fo = batch.withColumn("_in_batch", F.lit(True)).join(
+                h, F.col(s.key) == F.col(f"_h_{s.key}"), "full"
+            )
+
+        def h_(c: str, t: str):
+            """Head-side column, typed-null when the head predates it."""
+            if c in head_types:
+                return F.col(f"_h_{c}")
+            return F.lit(None).cast(t)
+
+        def pay_t(c: str) -> str:
+            return batch_types.get(c) or head_types.get(c) or "string"
+
+        # classification — identical rules to the joined path (step 3 of
+        # the MoR branch), plus 'untouched' for head-only rows
+        cmp_hd = F.col(s.hashdiff)
+        new_info = F.lit(False)
+        st_hdv = h_(s.hd_version, "int")
+        for v in sorted(recipe.versions):
+            if v != recipe.current_version:
+                cmp_hd = F.when(st_hdv == v, F.col(f"{s.hashdiff}_v{v}")).otherwise(cmp_hd)
+                added = [c for c in recipe.current_cols if c not in recipe.versions[v]]
+                if added:
+                    any_nonnull = None
+                    for c in added:
+                        e = (F.col(c) if c in bcols else F.lit(None)).isNotNull()
+                        any_nonnull = e if any_nonnull is None else (any_nonnull | e)
+                    new_info = F.when(st_hdv == v, any_nonnull).otherwise(new_info)
+
+        in_batch = F.col("_in_batch").isNotNull()
+        is_delete = F.col("_op") == F.lit("D")
+        st_active = h_(s.active, "boolean")
+        has_row = st_active.isNotNull()
+        is_active = st_active == F.lit(True)
+        st_seq = h_(s.load_seq, "long")
+        stale = has_row & (seq_expr < st_seq)
+        unchanged = is_active & ~is_delete & (cmp_hd == h_(s.hashdiff, "string")) & ~new_info
+        bump = unchanged & (seq_expr > st_seq)
+        fo = fo.withColumn(
+            "_verdict",
+            F.when(~in_batch, F.lit("untouched"))
+            .when(stale, F.lit("stale"))
+            .when(is_delete & is_active, F.lit("delete"))
+            .when(is_delete, F.lit("noop"))
+            .when(bump, F.lit("bump"))
+            .when(unchanged, F.lit("noop"))
+            .when(is_active, F.lit("update"))
+            .when(has_row, F.lit("reinsert"))  # tombstone: revision keeps counting
+            .otherwise(F.lit("insert")),
+        )
+
+        vd = F.col("_verdict")
+        is_del, is_bump, is_upd = vd == "delete", vd == "bump", vd == "update"
+        ts_expr = F.col(self.ts_col).cast("timestamp")
+
+        # (name, new-version expr, kept/modified-head expr, history expr)
+        fields = [
+            (s.key, F.col(s.key), h_(s.key, "string"), h_(s.key, "string")),
+            *[
+                (c, F.col(c).cast(pay_t(c)), h_(c, pay_t(c)), h_(c, pay_t(c)))
+                for c in self.business_keys
+            ],
+            *[
+                (
+                    c,
+                    (F.col(c) if c in bcols else F.lit(None)).cast(pay_t(c)),
+                    h_(c, pay_t(c)),
+                    h_(c, pay_t(c)),
+                )
+                for c in payload
+            ],
+            (s.runid, F.lit(batch_id).cast("long"), h_(s.runid, "long"), h_(s.runid, "long")),
+            (
+                s.active,
+                F.lit(True),
+                F.when(is_del, F.lit(False)).otherwise(h_(s.active, "boolean")),
+                F.when(is_upd, F.lit(False)).otherwise(h_(s.active, "boolean")),
+            ),
+            (
+                s.insert_ts,
+                ts_expr,
+                h_(s.insert_ts, "timestamp"),
+                h_(s.insert_ts, "timestamp"),
+            ),
+            (
+                s.finish_ts,
+                F.lit(None).cast("timestamp"),
+                F.when(is_del, ts_expr).otherwise(h_(s.finish_ts, "timestamp")),
+                F.when(is_upd, ts_expr).otherwise(h_(s.finish_ts, "timestamp")),
+            ),
+            (
+                s.deleted_runid,
+                F.lit(None).cast("long"),
+                F.when(is_del, F.lit(batch_id).cast("long")).otherwise(
+                    h_(s.deleted_runid, "long")
+                ),
+                h_(s.deleted_runid, "long"),
+            ),
+            (
+                s.revision,
+                F.coalesce(h_(s.revision, "long") + 1, F.lit(0)).cast("long"),
+                h_(s.revision, "long"),
+                h_(s.revision, "long"),
+            ),
+            (
+                s.load_seq,
+                seq_expr,
+                F.when(is_del | is_bump, seq_expr).otherwise(h_(s.load_seq, "long")),
+                h_(s.load_seq, "long"),
+            ),
+            (s.hashdiff, F.col(s.hashdiff), h_(s.hashdiff, "string"), h_(s.hashdiff, "string")),
+            (s.hd_version, F.col(s.hd_version), h_(s.hd_version, "int"), h_(s.hd_version, "int")),
+            (
+                s.source,
+                F.lit(self.source_system),
+                h_(s.source, "string"),
+                h_(s.source, "string"),
+            ),
+            (BUCKET_COL, F.col(BUCKET_COL), h_(BUCKET_COL, "int"), h_(BUCKET_COL, "int")),
+        ]
+        newset = vd.isin("insert", "update", "reinsert")
+        head_struct = F.when(
+            newset,
+            F.struct(F.lit("a").alias("_dest"), *[e.alias(n) for n, e, _, _ in fields]),
+        ).when(
+            has_row,
+            F.struct(F.lit("a").alias("_dest"), *[e.alias(n) for n, _, e, _ in fields]),
+        )
+        hist_struct = F.when(
+            vd.isin("update", "reinsert"),
+            F.struct(F.lit("b").alias("_dest"), *[e.alias(n) for n, _, _, e in fields]),
+        )
+
+        # the pre-write exchange runs HERE, before explode and observe: it
+        # moves each joined row once (not its two exploded outputs), and it
+        # keeps the CollectMetrics node inside the RESULT stage — observed
+        # metrics from a pre-exchange AQE stage are dropped (measured:
+        # Observation.getRow returns an empty row when the observe sits
+        # upstream of the write's repartition). A head row and its history
+        # row share the key's bucket, so bucket-keyed partitioning still
+        # yields one file per (dest, bucket) dir.
+        fo = fo.repartition(
+            max(len(affected), 1), F.coalesce(F.col(BUCKET_COL), h_(BUCKET_COL, "int"))
+        )
+        obs = Observation()
+        fo = fo.observe(
+            obs,
+            *[
+                F.sum(F.when(vd == v, 1).otherwise(0)).alias(v)
+                for v in ("insert", "update", "reinsert", "delete", "bump", "noop", "stale")
+            ],
+            F.sum(F.when(in_batch, 1).otherwise(0)).alias("deduped"),
+        )
+        branches = [head_struct] + ([hist_struct] if hist_needed else [])
+        tagged = (
+            fo.select(F.explode(F.array(*branches)).alias("_r"))
+            .filter(F.col("_r").isNotNull())
+            .select("_r.*")
+        )
+        out_schema = json.loads(
+            tagged.drop("_dest").schema.json()
+        )
+        staged_head, staged_hist = table.head.stage_tagged(
+            table.hist, tagged, affected, out_schema
+        )
+        m = obs.get
+        metrics = {
+            "batch_id": batch_id,
+            "deduped_keys": int(m["deduped"] or 0),
+            "inserted": int((m["insert"] or 0) + (m["reinsert"] or 0)),
+            "updated": int(m["update"] or 0),
+            "deleted": int(m["delete"] or 0),
+            "unchanged": int((m["noop"] or 0) + (m["bump"] or 0)),
+            "stale": int(m["stale"] or 0),
+            "buckets_read": sorted(affected),
+            "buckets_written": sorted(staged_head["written_buckets"]),
+            "batch_keys_per_bucket": bucket_counts,
+            "lineage": lineage or {},
+        }
+        if hist_needed and staged_hist["written_buckets"]:
+            table.hist.commit(
+                None,
+                sorted(staged_hist["written_buckets"]),
+                batch_id,
+                metrics={"closed_rows_appended": True},
+                mode="append",
+                staged=staged_hist,
+            )
+        table.head.commit(
+            None,
+            affected,
+            batch_id,
+            recipe=recipe,
+            metrics=metrics,
+            mode="overwrite",
+            staged=staged_head,
+        )
+        return metrics
 
     def _classify_and_commit(
         self,
@@ -630,17 +900,12 @@ class Scd2Merge:
             # supersession stamp: reads keep each key's max-_cv row
             new_head = new_head.withColumn(MOR_CV, F.lit(batch_id).cast("long"))
 
-        # stage both tables' data files in ONE Spark job (one exchange, one
-        # write — lake.stage_with; guide §2.4: two same-keyed writes share
-        # one exchange). A resumed torn batch whose history append already
-        # committed skips the hist stage. MoR keeps the two-job path: its
-        # head frame carries the supersession stamp the hist must not.
+        # stage both tables' data files concurrently (this path now serves
+        # only merge-on-read tables — copy-on-write merges run the fused
+        # single-pass _apply_cow). A resumed torn batch whose history
+        # append already committed skips the hist stage.
         hist_needed = batch_id not in table.hist.committed_batch_ids()
-        if hist_needed and not table.mor:
-            staged_head, staged_hist = table.head.stage_with(
-                table.hist, new_head, hist_rows, affected
-            )
-        elif hist_needed:
+        if hist_needed:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:

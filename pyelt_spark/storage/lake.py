@@ -256,31 +256,31 @@ class LakeTable:
             "schema_json": json.loads(new_data.schema.json()),
         }
 
-    def stage_with(
+    def stage_tagged(
         self,
         other: "LakeTable",
-        own_data: DataFrame,
-        other_data: DataFrame,
+        tagged: DataFrame,
         affected_buckets: list[int],
+        schema_json: dict,
     ) -> tuple[dict, dict]:
         """Stage this table's AND ``other``'s next-version data files in ONE
         Spark job (one exchange, one write), returning ``(own_staged,
         other_staged)`` handles shaped exactly like :meth:`stage`'s.
+        ``tagged`` carries a ``_dest`` column ('a' = this table, 'b' =
+        ``other``) plus the shared data columns; ``schema_json`` is the
+        stored schema for both tables (identical by the caller's
+        alignment).
 
         Motivation (guide §2.4/§2.6): an SCD2 merge stages a head rewrite
-        and a history append from the same cached verdict join; as two
-        write jobs they each pay an exchange, a scheduler round-trip and —
-        under a laned replay — contention with every other lane's jobs.
-        Fused, the two frames union under a ``_dest`` tag, one hash
-        exchange on (dest, bucket) partitions them, and ``partitionBy``
-        splits the output per destination; the staged dirs are then
-        renamed into each table's own ``data/v{N}`` (same filesystem by
-        construction — both tables live under one Scd2Table root). Nothing
-        is published: manifests still commit separately, in the caller's
-        crash-safe order, so the protocol is unchanged.
-
-        Requires identical column sets on both frames (the merge aligns
-        them); the frames keep their own schemas in the returned handles.
+        and a history append from one classified frame; as two write jobs
+        they each pay an exchange, a scheduler round-trip and — under a
+        laned replay — contention with every other lane's jobs. Fused,
+        one hash exchange on (dest, bucket) partitions the tagged frame,
+        ``partitionBy`` splits the output per destination, and the staged
+        dirs are renamed into each table's own ``data/v{N}`` (same
+        filesystem by construction — both tables live under one Scd2Table
+        root). Nothing is published: manifests still commit separately,
+        in the caller's crash-safe order, so the protocol is unchanged.
         """
         own_last, other_last = self.last_commit(), other.last_commit()
         own_ver = (own_last.version + 1) if own_last else 1
@@ -289,22 +289,18 @@ class LakeTable:
         other_rel = os.path.join("data", f"v{other_ver}")
         tmp = os.path.join(self.path, "data", f".pair-{uuid.uuid4().hex}")
         dest = "_dest_p"
-        u = own_data.withColumn(dest, F.lit("a")).unionByName(
-            other_data.withColumn(dest, F.lit("b"))
-        )
+        # no exchange here: the caller pre-partitions the frame by bucket
+        # (one file per (dest, bucket) dir falls out of partitionBy because
+        # a bucket's rows — both destinations — live in one task)
         (
-            u.withColumn(_PART_COL, F.col(BUCKET_COL))
-            .repartition(
-                max(2 * len(affected_buckets), 2), F.col(dest), F.col(BUCKET_COL)
-            )
+            tagged.withColumnRenamed("_dest", dest)
+            .withColumn(_PART_COL, F.col(BUCKET_COL))
             .write.partitionBy(dest, _PART_COL)
             .mode("overwrite")
             .parquet(tmp)
         )
 
-        def _adopt(
-            tag: str, table: "LakeTable", version: int, rel_dir: str, frame: DataFrame
-        ) -> dict:
+        def _adopt(tag: str, table: "LakeTable", version: int, rel_dir: str) -> dict:
             out_dir = os.path.join(table.path, rel_dir)
             src = os.path.join(tmp, f"{dest}={tag}")
             written: set[int] = set()
@@ -325,12 +321,12 @@ class LakeTable:
                 "rel_dir": rel_dir,
                 "written_buckets": written,
                 "rows_per_bucket": rows_per_bucket,
-                "schema_json": json.loads(frame.schema.json()),
+                "schema_json": schema_json,
             }
 
         try:
-            own_staged = _adopt("a", self, own_ver, own_rel, own_data)
-            other_staged = _adopt("b", other, other_ver, other_rel, other_data)
+            own_staged = _adopt("a", self, own_ver, own_rel)
+            other_staged = _adopt("b", other, other_ver, other_rel)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         return own_staged, other_staged
