@@ -146,6 +146,141 @@ class HubMerge:
             keys.unpersist()
         return metrics
 
+    def apply_batches(
+        self,
+        table: LakeTable,
+        batch: DataFrame,
+        batch_col: str = "batch_id",
+        batch_ids: list[int] | None = None,
+        affected_buckets: list[int] | None = None,
+    ) -> dict[int, dict[str, Any]] | None:
+        """Window-coalesced insert-only merge: register every pending
+        batch's new keys in ONE pass, identical to applying the batches
+        sequentially. A key first seen in batch b gets b's row exactly as
+        the per-batch path would build it (first-batch-wins: ``_runid`` =
+        first feeding batch, ``_insert_ts``/business keys/carry columns
+        aggregated WITHIN that batch) — expressed as a per-(key, batch)
+        aggregation followed by a min-by-batch fold, both on one
+        key-partitioned exchange. One anti-join against state, one append
+        write, one manifest carrying the whole id window."""
+        done = table.committed_batch_ids()
+        all_ids = [int(b) for b in (batch_ids or [])]
+        out: dict[int, dict[str, Any]] = {
+            b: {"skipped_duplicate_batch": b} for b in all_ids if b in done
+        }
+        pending = sorted(b for b in all_ids if b not in done)
+        if not pending:
+            return out
+        if len(pending) == 1:
+            out[pending[0]] = self.apply_batch(
+                table,
+                batch.filter(F.col(batch_col) == pending[0]),
+                pending[0],
+                affected_buckets=affected_buckets,
+            )
+            return out
+
+        ev = batch.filter(F.col(batch_col).isin(pending))
+        has_row_type = "_hub_type" in ev.columns
+        keyed = (
+            ev.filter(
+                F.coalesce(
+                    *[F.col(c).cast("string") for c in self.business_keys]
+                ).isNotNull()
+            )
+            .withColumn(self.key_col, hash_key(*self.business_keys))
+            .withColumn("_b", F.col(batch_col).cast("long"))
+            .repartition(F.col(self.key_col))
+        )
+        g1 = keyed.groupBy(self.key_col, "_b").agg(
+            F.min(F.col(self.ts_col).cast("timestamp")).alias("_first_ts"),
+            *[F.min(c).alias(c) for c in self.business_keys],
+            *[F.min(c).alias(c) for c in self.carry_cols],
+            *([F.min("_hub_type").alias("_hub_type")] if has_row_type else []),
+        )
+        folded = [
+            "_first_ts",
+            *self.business_keys,
+            *self.carry_cols,
+            *(["_hub_type"] if has_row_type else []),
+        ]
+        g2 = g1.groupBy(self.key_col).agg(
+            F.min(F.struct(F.col("_b"), *[F.col(c) for c in folded])).alias("_w")
+        )
+        keys = g2.select(
+            F.col(self.key_col),
+            *[F.col(f"_w.{c}").alias(c) for c in folded],
+            F.col("_w._b").alias("_b"),
+        )
+        keys = (
+            keys.select(
+                F.col(self.key_col),
+                (
+                    F.col("type")
+                    if "type" in self.business_keys
+                    else (
+                        F.coalesce(F.col("_hub_type"), F.lit(self.hub_type))
+                        if has_row_type
+                        else F.lit(self.hub_type)
+                    )
+                ).alias("type"),
+                business_key(*self.business_keys).alias("bk"),
+                *[F.col(c) for c in self.business_keys if c != "type"],
+                *[F.col(c) for c in self.carry_cols],
+                *self._extra_cols(),
+                F.col("_b").alias("_runid"),
+                F.col("_first_ts").alias("_insert_ts"),
+                F.lit(self.source_system).alias("_source_system"),
+            )
+            .withColumn(BUCKET_COL, bucket_expr(self.key_col, table.num_buckets))
+        )
+        if affected_buckets is not None:
+            affected = [int(b) for b in affected_buckets]
+        else:
+            keys = keys.persist()
+            affected = [r[0] for r in keys.select(BUCKET_COL).distinct().collect()]
+        first_load = table.last_commit() is None or not table.last_commit().buckets
+        if first_load:
+            fresh = keys
+        else:
+            state = table.read(buckets=affected)
+            fresh = keys.join(
+                state.select(F.col(self.key_col)), self.key_col, "left_anti"
+            )
+        fresh = fresh.persist()
+        staged = table.stage(fresh, affected)
+        per_batch = {
+            int(r["_runid"]): r["n"]
+            for r in fresh.groupBy("_runid").agg(F.count("*").alias("n")).collect()
+        }
+        fresh.unpersist()
+        if affected_buckets is None:
+            keys.unpersist()
+        for b in pending:
+            out[b] = {
+                "batch_id": b,
+                "new_keys": per_batch.get(b, 0),
+                "buckets_read": sorted(affected),
+                "buckets_written": sorted(staged["written_buckets"]),
+                "window": [pending[0], pending[-1]],
+            }
+        table.commit(
+            None,
+            affected_buckets=affected,
+            batch_id=pending[-1],
+            metrics={
+                "window": [pending[0], pending[-1]],
+                "new_keys": sum(per_batch.values()),
+                "new_keys_per_batch": {str(b): per_batch.get(b, 0) for b in pending},
+                "buckets_read": sorted(affected),
+                "buckets_written": sorted(staged["written_buckets"]),
+            },
+            mode="append",
+            staged=staged,
+            batch_ids=pending,
+        )
+        return out
+
 
 @dataclass
 class LinkMerge(HubMerge):

@@ -688,6 +688,490 @@ class Scd2Merge:
         )
         return metrics
 
+    def apply_batches(
+        self,
+        table: Scd2Table,
+        events: DataFrame,
+        batch_col: str = "batch_id",
+        batch_ids: list[int] | None = None,
+        lineage: dict[str, Any] | None = None,
+        affected_buckets: list[int] | None = None,
+    ) -> dict[int, dict[str, Any]] | None:
+        """Window-coalesced merge: apply EVERY pending batch of a bounded
+        stream in one closed-form pass, byte-identical to applying them
+        sequentially with :meth:`apply_batch` (the catch-up mode of a
+        streaming engine — Structured Streaming's availableNow processes
+        its backlog the same way). Returns per-batch metrics keyed by
+        batch id, or ``None`` when the closed form does not apply and the
+        caller must fall back to the per-batch loop.
+
+        Semantics (the per-key state machine of apply_batch, unrolled):
+        dedup one winner per (key, batch); order winners by batch; a
+        winner is a NEW VERSION iff it is an upsert whose content differs
+        from the previous effective content (a delete's content is NULL —
+        exactly the oracle's lag-chain form); the first comparison runs
+        against the head row under ITS recipe version; deletes close the
+        currently-active version (first delete per version group);
+        unchanged upserts with a later seq bump the head's _seq. Closed
+        versions land in history with the closing event's timestamp; the
+        final version (or tombstone) lands in the head; untouched head
+        rows carry forward. Commits publish once per table with the whole
+        id window (`Commit.batch_ids`) — crash-resume granularity becomes
+        the window, exactly-once is preserved.
+
+        Preconditions (checked; else ``None``): copy-on-write table, and
+        per key the winners' seqs are non-decreasing in batch order and
+        ≥ the head row's _seq — the sequential stale guard then provably
+        never fires, so the chain form is exact. Out-of-order tails fall
+        back to the per-batch path, which handles them row by row."""
+        from pyspark.sql import Window
+
+        from pyelt_spark.operators.dedup import _tiebreak
+
+        if table.mor:
+            return None
+        s = self.sys
+        done = table.committed_batch_ids()
+        all_ids = [int(b) for b in (batch_ids or [])]
+        out: dict[int, dict[str, Any]] = {
+            b: {"skipped_duplicate_batch": b} for b in all_ids if b in done
+        }
+        pending = sorted(b for b in all_ids if b not in done)
+        if not pending:
+            return out
+        if len(pending) == 1:
+            out[pending[0]] = self.apply_batch(
+                table,
+                events.filter(F.col(batch_col) == pending[0]),
+                pending[0],
+                lineage=lineage,
+                affected_buckets=affected_buckets,
+            )
+            return out
+
+        ev = events.filter(F.col(batch_col).isin(pending))
+        recipe = self._evolved_recipe(ev, table)
+        payload = recipe.current_cols
+        seq_expr = F.col(self.order_by[0]).cast("long")
+        keyed = self._with_keys_and_hashdiff(
+            ev.withColumn(s.key, hash_key(*self.business_keys)), recipe
+        )
+        keyed = keyed.withColumn(BUCKET_COL, bucket_expr(s.key, table.num_buckets))
+        op = (
+            F.col(self.op_col)
+            if self.op_col and self.op_col in keyed.columns
+            else F.lit("U")
+        )
+        keyed = (
+            keyed.withColumn("_op", op)
+            .withColumn("_b", F.col(batch_col).cast("long"))
+            .withColumn("_seql", seq_expr)
+            .withColumn(
+                "_tb", _tiebreak(ev, self.order_by, [c for c in ev.columns if c not in self.order_by])
+            )
+        )
+        bcols = set(ev.columns)
+        batch_types = dict(ev.dtypes)
+
+        # one winner per (key, batch): last row of its batch segment under
+        # the per-key (batch, seq, tiebreak) sort — identical winner to
+        # latest_per_key's max_by within each batch slice. This window's
+        # exchange is the pass's ONE data shuffle; every later window and
+        # group-by reuses the hash(_key) partitioning and the sort.
+        wsort = Window.partitionBy(s.key).orderBy(
+            "_b", *[F.col(c) for c in self.order_by], "_tb"
+        )
+        nxt_b = F.lead("_b").over(wsort)
+        win = keyed.withColumn(
+            "_is_w", nxt_b.isNull() | (nxt_b != F.col("_b"))
+        ).filter(F.col("_is_w"))
+
+        if affected_buckets is not None:
+            affected = [int(b) for b in affected_buckets]
+        else:
+            affected = [
+                int(r[0]) for r in win.select(BUCKET_COL).distinct().collect()
+            ]
+        first_load = table.last_commit() is None or not table.last_commit().buckets
+        head_state = (
+            None if first_load else table.head_read(buckets=affected)
+        )
+        head_types = dict(head_state.dtypes) if head_state is not None else {}
+
+        def h_(c: str, t: str):
+            if c in head_types:
+                return F.col(f"_h_{c}")
+            return F.lit(None).cast(t)
+
+        def pay_t(c: str) -> str:
+            return batch_types.get(c) or head_types.get(c) or "string"
+
+        if head_state is not None:
+            h = head_state.select(
+                *[F.col(c).alias(f"_h_{c}") for c in head_state.columns]
+            )
+            fo = win.join(h, F.col(s.key) == F.col(f"_h_{s.key}"), "full")
+        else:
+            fo = win
+
+        wk = Window.partitionBy(F.coalesce(F.col(s.key), h_(s.key, "string"))).orderBy("_b")
+        wku = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wkp = wk.rowsBetween(Window.unboundedPreceding, -1)
+        wka = Window.partitionBy(F.coalesce(F.col(s.key), h_(s.key, "string")))
+
+        h0_exists = h_(s.active, "boolean").isNotNull()
+        h0_active = h_(s.active, "boolean") == F.lit(True)
+        is_D = F.col("_op") == F.lit("D")
+        is_first = F.lag("_b").over(wk).isNull()
+
+        # content chain (oracle form): a delete's effective content is NULL
+        e = F.when(is_D, F.lit(None).cast("string")).otherwise(F.col(s.hashdiff))
+        # first comparison vs h0 under the HEAD row's recipe version
+        cmp_first = F.col(s.hashdiff)
+        new_info_first = F.lit(False)
+        st_hdv = h_(s.hd_version, "int")
+        for v in sorted(recipe.versions):
+            if v != recipe.current_version:
+                cmp_first = F.when(
+                    st_hdv == v, F.col(f"{s.hashdiff}_v{v}")
+                ).otherwise(cmp_first)
+                added = [c for c in recipe.current_cols if c not in recipe.versions[v]]
+                if added:
+                    any_nonnull = None
+                    for c in added:
+                        x = (F.col(c) if c in bcols else F.lit(None)).isNotNull()
+                        any_nonnull = x if any_nonnull is None else (any_nonnull | x)
+                    new_info_first = F.when(st_hdv == v, any_nonnull).otherwise(new_info_first)
+        first_unchanged = (
+            h0_active
+            & ~is_D
+            & (cmp_first == h_(s.hashdiff, "string"))
+            & ~new_info_first
+        )
+        later_unchanged = ~is_D & F.col(s.hashdiff).eqNullSafe(F.lag(e).over(wk))
+        unchanged = F.when(is_first, first_unchanged).otherwise(later_unchanged)
+        applied = (~is_D) & ~F.coalesce(unchanged, F.lit(False))
+
+        c1 = fo.withColumn("_app", applied).withColumn("_unch", F.coalesce(unchanged, F.lit(False)))
+        gid = F.sum(F.col("_app").cast("int")).over(wku)
+        rmax = F.max("_seql").over(wku)
+        c2 = c1.withColumn("_gid", gid).withColumn("_rmax", rmax)
+        state_seq_before = F.greatest(F.lag("_rmax").over(wk), h_(s.load_seq, "long"))
+        runningD = F.sum(is_D.cast("int")).over(wku)
+        c3 = (
+            c2.withColumn("_ssb", state_seq_before)
+            .withColumn("_rd", runningD)
+            .withColumn(
+                "_lard", F.max(F.when(F.col("_app"), runningD)).over(wku)
+            )
+        )
+        bump = F.col("_unch") & (F.col("_seql") > F.col("_ssb"))
+        first_D = is_D & (F.col("_rd") == F.coalesce(F.col("_lard"), F.lit(0)) + 1)
+        closing_D = first_D & F.when(F.col("_gid") > 0, F.lit(True)).otherwise(h0_active)
+        c4 = c3.withColumn("_bump", bump).withColumn("_cd", closing_D)
+        runningCD = F.sum(F.col("_cd").cast("int")).over(wku)
+        c5 = c4.withColumn("_rcd", runningCD).withColumn(
+            "_pacd", F.max(F.when(F.col("_app"), F.col("_rcd"))).over(wkp)
+        )
+        gap_closed = (F.col("_rcd") - F.coalesce(F.col("_pacd"), F.lit(0))) >= 1
+        prior_exists = (F.col("_gid") > 1) | h0_exists
+        prior_active = F.when(F.col("_gid") > 1, ~gap_closed).otherwise(
+            h0_exists & h0_active & ~gap_closed
+        )
+        verdict = (
+            F.when(
+                F.col("_app"),
+                F.when(~prior_exists, F.lit("insert"))
+                .when(prior_active, F.lit("update"))
+                .otherwise(F.lit("reinsert")),
+            )
+            .when(F.col("_cd"), F.lit("delete"))
+            .when(is_D, F.lit("noop"))
+            .when(F.col("_bump"), F.lit("bump"))
+            .otherwise(F.lit("noop"))
+        )
+        stale_like = (
+            (F.col("_seql") < F.lag("_seql").over(wk))
+            | (is_first & h0_exists & (F.col("_seql") < h_(s.load_seq, "long")))
+        )
+        c6 = c5.withColumn("_verdict", verdict).withColumn(
+            "_viol", F.coalesce(stale_like, F.lit(False)).cast("int")
+        )
+
+        # ONE check+metrics job: monotonicity violations force the
+        # fallback; otherwise the same aggregation is the per-batch
+        # verdict census (shuffle-free: partitioned by key, grouped on
+        # (batch, verdict) after a key-local pre-aggregation)
+        chk = (
+            c6.filter(F.col("_b").isNotNull())
+            .groupBy("_b", "_verdict")
+            .agg(F.count("*").alias("n"), F.sum("_viol").alias("v"))
+            .collect()
+        )
+        if sum(r["v"] for r in chk) > 0:
+            return None
+        vmap: dict[int, dict[str, int]] = {b: {} for b in pending}
+        for r in chk:
+            vmap[int(r["_b"])][r["_verdict"]] = r["n"]
+
+        # group-0 closing-delete / bump info as per-key constants (the h0
+        # closure may have to be emitted from the v==1 row when no gid-0
+        # group row exists)
+        cd0 = F.min(
+            F.when(
+                F.col("_cd") & (F.col("_gid") == 0),
+                F.struct(F.col("_b").alias("b"), F.col(self.ts_col).cast("timestamp").alias("ts"), F.col("_seql").alias("seq")),
+            )
+        ).over(wka)
+        t0bump = F.max(
+            F.when((F.col("_gid") == 0) & F.col("_bump"), F.col("_seql"))
+        ).over(wka)
+        c7 = c6.withColumn("_cd0", cd0).withColumn("_t0b", t0bump)
+
+        ver_struct = F.when(
+            F.col("_app"),
+            F.struct(
+                F.col("_b").alias("b"),
+                F.col(self.ts_col).cast("timestamp").alias("ts"),
+                *[
+                    (F.col(c) if c in bcols else F.lit(None)).cast(pay_t(c)).alias(f"p_{i}")
+                    for i, c in enumerate(payload)
+                ],
+                *[F.col(c).cast(pay_t(c)).alias(f"k_{i}") for i, c in enumerate(self.business_keys)],
+                F.col(s.hashdiff).alias("hd"),
+                F.col(s.hd_version).alias("hdv"),
+                F.col(BUCKET_COL).alias("bkt"),
+            ),
+        )
+        grp_cd = F.when(
+            F.col("_cd"),
+            F.struct(F.col("_b").alias("b"), F.col(self.ts_col).cast("timestamp").alias("ts"), F.col("_seql").alias("seq")),
+        )
+        trans_seq = F.when(
+            F.col("_app") | F.col("_bump") | F.col("_cd"), F.col("_seql")
+        )
+        key_expr = F.coalesce(F.col(s.key), h_(s.key, "string"))
+        hcols = list(head_types)
+        vrows = (
+            c7.groupBy(key_expr.alias("_k"), F.col("_gid").alias("_g"))
+            .agg(
+                F.min(ver_struct).alias("_ver"),
+                F.min(grp_cd).alias("_gcd"),
+                F.max(trans_seq).alias("_tseq"),
+                F.min(F.struct(*[h_(c, "string").alias(f"h_{i}") for i, c in enumerate(hcols)])).alias("_h")
+                if hcols
+                else F.min(F.lit(None).cast("int")).alias("_h"),
+                F.min("_cd0").alias("_c0"),
+                F.max("_t0b").alias("_b0"),
+            )
+        )
+        wv = Window.partitionBy("_k")
+        wvo = Window.partitionBy("_k").orderBy("_g")
+        vr = (
+            vrows.withColumn("_m", F.max("_g").over(wv))
+            .withColumn("_nxt_ts", F.lead(F.col("_ver.ts")).over(wvo))
+        )
+
+        def hv(c: str, t: str):
+            if c in head_types:
+                return F.col(f"_h.h_{hcols.index(c)}").cast(head_types[c])
+            return F.lit(None).cast(t)
+
+        base_rev = F.when(hv(s.active, "boolean").isNotNull(), hv(s.revision, "long")).otherwise(F.lit(-1))
+        h0x = hv(s.active, "boolean").isNotNull()
+        h0a = hv(s.active, "boolean") == F.lit(True)
+
+        def out_struct(dest: str, fields: dict):
+            ordered = [
+                (s.key, "string"),
+                *[(c, pay_t(c)) for c in self.business_keys],
+                *[(c, pay_t(c)) for c in payload],
+                (s.runid, "long"),
+                (s.active, "boolean"),
+                (s.insert_ts, "timestamp"),
+                (s.finish_ts, "timestamp"),
+                (s.deleted_runid, "long"),
+                (s.revision, "long"),
+                (s.load_seq, "long"),
+                (s.hashdiff, "string"),
+                (s.hd_version, "int"),
+                (s.source, "string"),
+                (BUCKET_COL, "int"),
+            ]
+            return F.struct(
+                F.lit(dest).alias("_dest"),
+                *[fields[n].cast(t).alias(n) for n, t in ordered],
+            )
+
+        # field maps: version-derived row (head or hist variant) and
+        # h0-derived row (kept head / closed hist)
+        vts, vb = F.col("_ver.ts"), F.col("_ver.b")
+        gcd = F.col("_gcd")
+        ver_fields = lambda active, fin, delr, seq, rev: {  # noqa: E731
+            s.key: F.col("_k"),
+            **{c: F.col(f"_ver.k_{i}") for i, c in enumerate(self.business_keys)},
+            **{c: F.col(f"_ver.p_{i}") for i, c in enumerate(payload)},
+            s.runid: vb,
+            s.active: active,
+            s.insert_ts: vts,
+            s.finish_ts: fin,
+            s.deleted_runid: delr,
+            s.revision: rev,
+            s.load_seq: seq,
+            s.hashdiff: F.col("_ver.hd"),
+            s.hd_version: F.col("_ver.hdv"),
+            s.source: F.lit(self.source_system),
+            BUCKET_COL: F.col("_ver.bkt"),
+        }
+        h0_fields = lambda active, fin, delr, seq: {  # noqa: E731
+            s.key: F.col("_k"),
+            **{c: hv(c, pay_t(c)) for c in self.business_keys},
+            **{c: hv(c, pay_t(c)) for c in payload},
+            s.runid: hv(s.runid, "long"),
+            s.active: active,
+            s.insert_ts: hv(s.insert_ts, "timestamp"),
+            s.finish_ts: fin,
+            s.deleted_runid: delr,
+            s.revision: hv(s.revision, "long"),
+            s.load_seq: seq,
+            s.hashdiff: hv(s.hashdiff, "string"),
+            s.hd_version: hv(s.hd_version, "int"),
+            s.source: hv(s.source, "string"),
+            BUCKET_COL: hv(BUCKET_COL, "int"),
+        }
+
+        rev = base_rev + F.col("_g")
+        closed = gcd.isNotNull()
+        ver_head = out_struct(
+            "a",
+            ver_fields(
+                F.when(closed, F.lit(False)).otherwise(F.lit(True)),
+                F.when(closed, gcd["ts"]),
+                F.when(closed, gcd["b"]),
+                F.col("_tseq"),
+                rev,
+            ),
+        )
+        ver_hist = out_struct(
+            "b",
+            ver_fields(
+                F.lit(False),
+                F.when(closed, gcd["ts"]).otherwise(F.col("_nxt_ts")),
+                F.when(closed, gcd["b"]),
+                F.col("_tseq"),
+                rev,
+            ),
+        )
+        c0 = F.col("_c0")
+        h0_closed = c0.isNotNull()
+        h0_seq_kept = F.greatest(hv(s.load_seq, "long"), F.col("_b0"))
+        # h0 emitted as HIST from the v==1 row (active h0 closed by v1 or by
+        # a group-0 delete; tombstone h0 moved as-is)
+        h0_hist = out_struct(
+            "b",
+            h0_fields(
+                F.lit(False),
+                F.when(~h0a, hv(s.finish_ts, "timestamp"))
+                .when(h0_closed, c0["ts"])
+                .otherwise(F.col("_ver.ts")),
+                F.when(~h0a, hv(s.deleted_runid, "long")).when(h0_closed, c0["b"]),
+                F.when(~h0a, hv(s.load_seq, "long"))
+                .when(h0_closed, c0["seq"])
+                .otherwise(h0_seq_kept),
+            ),
+        )
+        # h0 kept in HEAD when no version applied (m==0): group-0 deletes /
+        # bumps still mutate it
+        h0_head = out_struct(
+            "a",
+            h0_fields(
+                F.when(h0_closed, F.lit(False)).otherwise(hv(s.active, "boolean")),
+                F.when(h0_closed & h0a, c0["ts"]).otherwise(hv(s.finish_ts, "timestamp")),
+                F.when(h0_closed & h0a, c0["b"]).otherwise(hv(s.deleted_runid, "long")),
+                F.when(h0_closed & h0a, c0["seq"]).otherwise(h0_seq_kept),
+            ),
+        )
+        untouched = out_struct(
+            "a",
+            h0_fields(
+                hv(s.active, "boolean"),
+                hv(s.finish_ts, "timestamp"),
+                hv(s.deleted_runid, "long"),
+                hv(s.load_seq, "long"),
+            ),
+        )
+
+        g = F.col("_g")
+        m = F.col("_m")
+        head_or_hist = (
+            F.when(g.isNull(), untouched)
+            .when((g == 0) & (m == 0) & h0x, h0_head)
+            .when((g >= 1) & (g == m), ver_head)
+            .when((g >= 1), ver_hist)
+        )
+        second = F.when((g == 1) & h0x, h0_hist)
+        hist_committed = set()
+        for b in pending:
+            if b in table.hist.committed_batch_ids():
+                hist_committed.add(b)
+        hist_needed = len(hist_committed) < len(pending)
+        tagged = (
+            vr.repartition(
+                max(len(affected), 1),
+                F.coalesce(F.col("_ver.bkt"), hv(BUCKET_COL, "int")),
+            )
+            .select(F.explode(F.array(head_or_hist, second)).alias("_r"))
+            .filter(F.col("_r").isNotNull())
+        )
+        if not hist_needed:
+            tagged = tagged.filter(F.col("_r._dest") == "a")
+        tagged = tagged.select("_r.*")
+        out_schema = json.loads(tagged.drop("_dest").schema.json())
+        staged_head, staged_hist = table.head.stage_tagged(
+            table.hist, tagged, affected, out_schema
+        )
+
+        metrics_by_batch: dict[int, dict[str, Any]] = {}
+        for b in pending:
+            vm = vmap.get(b, {})
+            metrics_by_batch[b] = {
+                "batch_id": b,
+                "deduped_keys": sum(vm.values()),
+                "inserted": vm.get("insert", 0) + vm.get("reinsert", 0),
+                "updated": vm.get("update", 0),
+                "deleted": vm.get("delete", 0),
+                "unchanged": vm.get("noop", 0) + vm.get("bump", 0),
+                "stale": 0,
+                "buckets_read": sorted(affected),
+                "buckets_written": sorted(staged_head["written_buckets"]),
+                "batch_keys_per_bucket": {},
+                "lineage": lineage or {},
+                "window": [pending[0], pending[-1]],
+            }
+        if hist_needed and staged_hist["written_buckets"]:
+            table.hist.commit(
+                None,
+                sorted(staged_hist["written_buckets"]),
+                pending[-1],
+                metrics={"closed_rows_appended": True},
+                mode="append",
+                staged=staged_hist,
+                batch_ids=pending,
+            )
+        table.head.commit(
+            None,
+            affected,
+            pending[-1],
+            recipe=recipe,
+            metrics={"window": [pending[0], pending[-1]],
+                     "batches": {str(b): metrics_by_batch[b] for b in pending}},
+            mode="overwrite",
+            staged=staged_head,
+            batch_ids=pending,
+        )
+        out.update(metrics_by_batch)
+        return out
+
     def _classify_and_commit(
         self,
         table: Scd2Table,

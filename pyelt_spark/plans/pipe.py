@@ -995,14 +995,122 @@ class Pipe:
         # (ADVICE r5)
         self._affected = {}
 
+        # WINDOW-COALESCED lane inputs: each table's whole pending id
+        # sequence can apply as ONE closed-form pass (apply_batches) —
+        # the mapping projections are batch-independent, so projecting the
+        # full stream and letting the window merge slice by batch id is
+        # identical to the per-batch unions. Snapshot-mapped sats keep the
+        # per-batch path (a snapshot batch claims completeness per batch).
+        win_calls: dict[str, Callable[[list[int], list[int]], dict | None]] = {}
+        if "hubs" in parts_l:
+            hub_w: "OrderedDict[type[HubEntity], list[DataFrame]]" = OrderedDict()
+            sat_w: "OrderedDict[str, list[DataFrame]]" = OrderedDict()
+            sat_snap_w: dict[str, set[bool]] = {}
+            for mp in self.mappings:
+                if not isinstance(mp, SorToEntityMapping):
+                    continue
+                ev_w = self._project(events, mp.field_map, mp.filter)
+                hub_in, sats_in = self._entity_inputs(
+                    mp.entity, ev_w, mp.sats, getattr(mp, "snapshot", False)
+                )
+                hub_w.setdefault(hub_in[0], []).append(hub_in[1])
+                for sname, sev, snap in sats_in:
+                    sat_w.setdefault(sname, []).append(sev)
+                    sat_snap_w.setdefault(sname, set()).add(snap)
+            for owner, frames in hub_w.items():
+                win_calls[owner.__hub_name__] = (
+                    lambda ids_t, aff_t, t=self.hubs[owner], mg=self.hub_merges[owner],
+                    e=_union(frames): mg.apply_batches(
+                        t, e, batch_col, ids_t, affected_buckets=aff_t
+                    )
+                )
+            for sname, frames in sat_w.items():
+                if sat_snap_w.get(sname) == {False}:
+                    win_calls[sname] = (
+                        lambda ids_t, aff_t, t=self.sats[sname],
+                        mg=self.sat_merges[sname], e=_union(frames):
+                        mg.apply_batches(
+                            t, e, batch_col, ids_t, affected_buckets=aff_t
+                        )
+                    )
+        if "links" in parts_l:
+            link_w: dict = {}
+            for mp in self.mappings:
+                if isinstance(mp, SorToLinkMapping):
+                    ev_w = self._project(events, mp.field_map, mp.filter)
+                    link_w.setdefault(mp.link, []).append(
+                        self._link_input(mp.link, ev_w, mp.type_expr)
+                    )
+            for le, frames in link_w.items():
+                win_calls[le.__dbname__] = (
+                    lambda ids_t, aff_t, t=self.links[le], mg=self.link_merges[le],
+                    e=_union(frames): mg.apply_batches(
+                        t, e, batch_col, ids_t, affected_buckets=aff_t
+                    )
+                )
+        if "valuesets" in parts_l:
+            vs_w: "OrderedDict[str, list[DataFrame]]" = OrderedDict()
+            for mp in self.mappings:
+                if not isinstance(mp, SorToValueSetMapping):
+                    continue
+                vs = (
+                    self._project(events, {}, mp.filter)
+                    .select(
+                        F.lit(mp.valueset_name).alias("valueset_naam"),
+                        F.expr(mp.code).cast("string").alias("code"),
+                        F.expr(mp.descr).cast("string").alias("omschrijving"),
+                        F.col(self.ts_col),
+                        F.col(batch_col),
+                    )
+                    .filter(F.col("code").isNotNull())
+                )
+                vs_w.setdefault(mp.valueset_name, []).append(vs)
+            for vname, frames in vs_w.items():
+                from pyelt_spark.operators.hubs import HubMerge
+
+                mg = HubMerge(
+                    business_keys=["valueset_naam", "code"],
+                    hub_type=f"valueset_{vname}",
+                    ts_col=self.ts_col,
+                    source_system=self.source_system,
+                    carry_cols=["omschrijving"],
+                )
+                win_calls[f"valueset_{vname}"] = (
+                    lambda ids_t, aff_t, t=self.valuesets[vname], mg=mg,
+                    e=_union(frames, allow_missing=False): mg.apply_batches(
+                        t, e, batch_col, ids_t, affected_buckets=aff_t
+                    )
+                )
+
         def _run_lane(name: str) -> None:
-            # one-ahead prefetch over the lane's prefetchable jobs (change-
-            # stream sats expose .prepare/.apply_prepared; shared machinery
-            # in operators/prefetch.py): batch N+1's dedup shuffle runs on
-            # a side thread while batch N writes, leaving only state-join +
-            # head/hist writes on the critical path. Empty-batch skip jobs
-            # in between don't break the pipeline — the chain links across
-            # them.
+            # window path first: the lane's whole pending sequence in one
+            # pass; fall back to the one-ahead per-batch chain when the
+            # closed form refuses (merge-on-read, out-of-order seqs,
+            # snapshot mappings have no window call at all)
+            win = win_calls.get(name)
+            if win is not None:
+                ids_t = [b for b in batch_ids if (affected.get(b) or {}).get(name) != []]
+                # unprobed tables (valuesets, unprobeable mappings) have no
+                # bucket evidence — None lets the window merge discover its
+                # own buckets; [] would wrongly publish an empty manifest
+                probed_any = any(name in (affected.get(b) or {}) for b in batch_ids)
+                aff_t = (
+                    sorted(
+                        {
+                            k
+                            for b in batch_ids
+                            for k in ((affected.get(b) or {}).get(name) or [])
+                        }
+                    )
+                    if probed_any
+                    else None
+                )
+                res = win(ids_t, aff_t)
+                if res is not None:
+                    for b in batch_ids:
+                        outs[b][name] = res.get(b, {"skipped_empty_batch": b})
+                    return
+
             def emit(b: int, out: dict) -> None:
                 outs[b][name] = out
 

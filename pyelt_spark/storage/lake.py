@@ -85,9 +85,14 @@ class Commit:
     schema: dict
     recipe: dict | None
     metrics: dict[str, Any]
+    # a window commit applies SEVERAL batch ids atomically (the
+    # catch-up/window-coalesced replay — one snapshot covers the whole
+    # window, like one Iceberg snapshot per multi-batch commit); batch_id
+    # stays the window's last id for ordering
+    batch_ids: list[int] | None = None
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "version": self.version,
             "batch_id": self.batch_id,
             "buckets": self.buckets,
@@ -95,6 +100,9 @@ class Commit:
             "recipe": self.recipe,
             "metrics": self.metrics,
         }
+        if self.batch_ids is not None:
+            out["batch_ids"] = list(self.batch_ids)
+        return out
 
     @classmethod
     def from_json(cls, d: dict) -> "Commit":
@@ -105,6 +113,7 @@ class Commit:
             schema=d["schema"],
             recipe=d.get("recipe"),
             metrics=d.get("metrics", {}),
+            batch_ids=d.get("batch_ids"),
         )
 
 
@@ -158,7 +167,11 @@ class LakeTable:
         return cs[-1] if cs else None
 
     def committed_batch_ids(self) -> set[int]:
-        return {c.batch_id for c in self.commits() if c.batch_id is not None}
+        out = {c.batch_id for c in self.commits() if c.batch_id is not None}
+        for c in self.commits():
+            if c.batch_ids:
+                out.update(c.batch_ids)
+        return out
 
     def recipe(self) -> HashRecipe | None:
         last = self.last_commit()
@@ -341,6 +354,7 @@ class LakeTable:
         mode: str = "overwrite",
         bucket_overrides: dict[str, list[str]] | None = None,
         staged: dict | None = None,
+        batch_ids: list[int] | None = None,
     ) -> Commit:
         """Publish a new table version.
 
@@ -413,6 +427,7 @@ class LakeTable:
             schema=schema_json,
             recipe=recipe.to_json() if recipe else (last.recipe if last else None),
             metrics=metrics or {},
+            batch_ids=batch_ids,
         )
         tmp = os.path.join(self._commit_dir(), f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:

@@ -187,6 +187,51 @@ class MicrobatchRunner:
                     on_batch(nb, _assemble(nb))
                     fired[0] += 1
 
+        # WINDOW-COALESCED lanes: each table applies its whole pending id
+        # window in one closed-form pass (Scd2Merge.apply_batches /
+        # HubMerge.apply_batches — the catch-up mode), falling back to the
+        # per-batch chain when a table's preconditions fail (merge-on-read
+        # head, or out-of-order winner seqs). Probe-proven-empty batches
+        # are excluded from each table's window, exactly like the
+        # per-batch skip.
+        def _window_ids(t: str) -> list[int]:
+            return [b for b in pending if affected.get(b, {}).get(t) != []]
+
+        def _window_aff(t: str) -> list[int]:
+            return sorted(
+                {k for b in pending for k in (affected.get(b, {}).get(t) or [])}
+            )
+
+        def _try_window(name: str) -> bool:
+            ids_t = _window_ids(name)
+            aff_t = _window_aff(name)
+            if name == "sat":
+                res = sat_merge.apply_batches(
+                    v.sat, events, batch_col, ids_t, lineage={},
+                    affected_buckets=aff_t,
+                )
+            elif name == "hub":
+                res = v.hub_merge.apply_batches(
+                    v.hub, op_filter(events), batch_col, ids_t,
+                    affected_buckets=aff_t,
+                )
+            else:
+                res = v.link_merge.apply_batches(
+                    v.link,
+                    op_filter(events).filter(F.col("tool").isNotNull()),
+                    batch_col,
+                    ids_t,
+                    affected_buckets=aff_t,
+                )
+            if res is None:
+                return False
+            for b in pending:
+                results[(name, b)] = res.get(b, {"skipped_empty_batch": b})
+            lanes[name][1]()  # lane-scoped maintenance once per window
+            for b in pending:
+                _mark(b)
+            return True
+
         # Sat-lane pipelining (operators/prefetch.py): the batch-side frame
         # (the merge's one full shuffle — dedup + hashdiff) reads no table
         # state, so batch N+1's frame is prefetched on a side thread while
@@ -218,6 +263,8 @@ class MicrobatchRunner:
 
         def _run_lane(name: str) -> None:
             fn, maintain = lanes[name]
+            if _try_window(name):
+                return
 
             def emit(b: int, out: dict) -> None:
                 results[(name, b)] = out

@@ -69,10 +69,13 @@ def test_vault_maintain_compacts_append_tables(spark, tmp_path):
     from pyelt_spark.streaming.runner import MicrobatchRunner
 
     # many conversations relative to events → every batch registers NEW hub
-    # keys, so the append-mode hub gains a dir per touched bucket per batch
+    # keys, so the append-mode hub gains a dir per touched bucket per batch.
+    # Applied per batch (the steady-state arrival path) — a windowed replay
+    # appends once per window and would leave nothing to compact.
     ev = transcript_change_events(spark, 2000, batch_size=500, seed=13, n_convs=1500)
     vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
-    MicrobatchRunner(vault).replay(ev)
+    for b in sorted(r[0] for r in ev.select("batch_id").distinct().collect()):
+        vault.apply_batch(ev.filter(ev.batch_id == b), int(b))
     before = vault.hub.read().count()
     # hub appended one dir per touched bucket per batch — force-compact
     assert any(len(d) > 1 for d in vault.hub.last_commit().buckets.values())

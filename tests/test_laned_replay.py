@@ -31,34 +31,33 @@ from tests.test_domain import (  # declared test domain + event helpers
 
 
 def test_laned_crash_lanes_at_different_batches(spark, tmp_path):
-    """Crash the link lane at batch 1 while the hub/sat lanes run to the
+    """Crash the link lane mid-replay while the hub/sat lanes run to the
     end of the stream — the torn state has tables at DIFFERENT batch
-    positions (not just a torn single batch). Resume must complete exactly
-    the missing (table, batch) cells and converge to the clean-replay
-    state."""
+    positions. Resume must complete exactly the missing (table, batch)
+    cells and converge to the clean-replay state. (The lanes now apply
+    their pending ids as one coalesced window, so the link crash is
+    injected into its window call and leaves the link with NO commits —
+    a strictly more torn state than the per-batch architecture's.)"""
     ev = transcript_change_events(spark, 1200, batch_size=400, seed=47).persist()
     vault = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
 
-    orig = vault.link_merge.apply_batch
+    def boom(*a, **k):
+        raise RuntimeError("injected link-lane crash")
 
-    def boom(table, ups, batch_id, *a, **k):
-        if batch_id == 1:
-            raise RuntimeError("injected link-lane crash at batch 1")
-        return orig(table, ups, batch_id, *a, **k)
-
+    vault.link_merge.apply_batches = boom
     vault.link_merge.apply_batch = boom
     with pytest.raises(RuntimeError, match="injected link-lane crash"):
         MicrobatchRunner(vault).replay(ev)
 
-    # torn ACROSS batches: link stopped at 0; sat/hub lanes ran 0..2
-    assert vault.link.committed_batch_ids() == {0}
+    # torn ACROSS batches: link never committed; sat/hub lanes ran 0..2
+    assert vault.link.committed_batch_ids() == set()
     assert vault.sat.committed_batch_ids() >= {0, 1, 2}
     assert vault.hub.committed_batch_ids() >= {0, 1, 2}
 
     # restart: fresh handles, same stream — only the missing cells apply
     vault2 = TranscriptVault(spark, str(tmp_path / "v"), num_buckets=4)
     out = MicrobatchRunner(vault2).replay(ev)
-    assert out[0].get("skipped_duplicate_batch") == 0
+    assert out[0]["sat"] == {"skipped_duplicate_batch": 0}
     assert out[1]["sat"] == {"skipped_duplicate_batch": 1}
     assert out[1]["hub"] == {"skipped_duplicate_batch": 1}
     assert "new_keys" in out[1]["link"]  # the crashed cell completed now
@@ -158,19 +157,17 @@ def test_laned_pipe_crash_resume(spark, tmp_path):
     ev = _pipe_events(spark)
     pipe = Pipe(spark, str(tmp_path / "dv"), _mappings(), num_buckets=4)
 
-    orig = LinkMerge.apply_batch
-
-    def boom(self, table, ups, batch_id, *a, **k):
-        if batch_id == 1:
-            raise RuntimeError("injected link-lane crash")
-        return orig(self, table, ups, batch_id, *a, **k)
+    def boom(self, *a, **k):
+        raise RuntimeError("injected link-lane crash")
 
     LinkMerge.apply_batch = boom
+    LinkMerge.apply_batches = boom
     try:
         with pytest.raises(RuntimeError, match="injected link-lane crash"):
             pipe.replay(ev)
     finally:
-        del LinkMerge.apply_batch  # restore the HubMerge-inherited method
+        del LinkMerge.apply_batch  # restore the HubMerge-inherited methods
+        del LinkMerge.apply_batches
 
     link_t = pipe.links[PatientHandelingLink]
     assert 1 not in link_t.committed_batch_ids()
