@@ -468,7 +468,12 @@ def dedup_clusters(
     sufficient form here.) Nodes with no edge never enter — singletons are
     their own canonical by definition and need no compute.
     """
-    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    # materialize the pair list ONCE before symmetrizing: the union's two
+    # branches otherwise re-execute the whole upstream pair pipeline (the
+    # broadcast-join verify has no exchange boundary Spark could reuse
+    # across branches — measured at sf1.0: 9.9 s edge materialization vs
+    # 3.5 s for one pairs pass), and the pair list is candidate-bounded
+    e = pairs.select(F.col(a).alias("x"), F.col(b).alias("y")).persist()
     # No distinct() on the symmetrized edge list: every consumer is a
     # min-aggregate (directly, or through a join whose fan-out feeds a
     # min), and min over a multiset equals min over its set — duplicate
@@ -543,12 +548,14 @@ def dedup_clusters(
         # near-dup clusters (dense/star-like); callers raise max_iter
         # deliberately, not by accident (ADVICE r2).
         edges.unpersist()
+        e.unpersist()
         raise RuntimeError(
             f"dedup_clusters did not converge within max_iter={max_iter} "
             "label-propagation rounds (a component's diameter exceeds "
             "max_iter); raise max_iter"
         )
     edges.unpersist()
+    e.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
