@@ -814,10 +814,23 @@ class Scd2Merge:
         else:
             fo = win
 
-        wk = Window.partitionBy(F.coalesce(F.col(s.key), h_(s.key, "string"))).orderBy("_b")
+        # the WRITE's bucket exchange runs here, right after the join: a
+        # bucket is a function of the key, so hash(bucket) partitioning
+        # clusters keys, and every later window/group-by keyed
+        # (bucket, key) is exchange-free — the whole chain, the
+        # version-group aggregation, the output structs and the write all
+        # live in ONE post-exchange stage. That is also what makes the
+        # observe()-collected metrics safe (observed metrics from a
+        # pre-exchange AQE stage come back empty — see _apply_cow).
+        fo = fo.withColumn(
+            "_bkt", F.coalesce(F.col(BUCKET_COL), h_(BUCKET_COL, "int"))
+        ).repartition(max(len(affected), 1), F.col("_bkt"))
+
+        kcol = F.coalesce(F.col(s.key), h_(s.key, "string"))
+        wk = Window.partitionBy("_bkt", kcol).orderBy("_b")
         wku = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         wkp = wk.rowsBetween(Window.unboundedPreceding, -1)
-        wka = Window.partitionBy(F.coalesce(F.col(s.key), h_(s.key, "string")))
+        wka = Window.partitionBy("_bkt", kcol)
 
         h0_exists = h_(s.active, "boolean").isNotNull()
         h0_active = h_(s.active, "boolean") == F.lit(True)
@@ -898,21 +911,26 @@ class Scd2Merge:
             "_viol", F.coalesce(stale_like, F.lit(False)).cast("int")
         )
 
-        # ONE check+metrics job: monotonicity violations force the
-        # fallback; otherwise the same aggregation is the per-batch
-        # verdict census (shuffle-free: partitioned by key, grouped on
-        # (batch, verdict) after a key-local pre-aggregation)
-        chk = (
-            c6.filter(F.col("_b").isNotNull())
-            .groupBy("_b", "_verdict")
-            .agg(F.count("*").alias("n"), F.sum("_viol").alias("v"))
-            .collect()
-        )
-        if sum(r["v"] for r in chk) > 0:
-            return None
+        # Per-batch verdict census + monotonicity check. Small windows ride
+        # the WRITE job itself as observe() aggregates (7 x |pending| sums —
+        # zero extra jobs; the staged files are discarded un-published if a
+        # violation shows up). Large windows (many small batches — the
+        # aggregate-expression count would bloat codegen) pay one explicit
+        # check job instead, which the write's shuffle reuse then builds on.
+        _VERDS = ("insert", "update", "reinsert", "delete", "bump", "noop")
+        use_obs = len(pending) <= 16
         vmap: dict[int, dict[str, int]] = {b: {} for b in pending}
-        for r in chk:
-            vmap[int(r["_b"])][r["_verdict"]] = r["n"]
+        if not use_obs:
+            chk = (
+                c6.filter(F.col("_b").isNotNull())
+                .groupBy("_b", "_verdict")
+                .agg(F.count("*").alias("n"), F.sum("_viol").alias("v"))
+                .collect()
+            )
+            if sum(r["v"] for r in chk) > 0:
+                return None
+            for r in chk:
+                vmap[int(r["_b"])][r["_verdict"]] = r["n"]
 
         # group-0 closing-delete / bump info as per-key constants (the h0
         # closure may have to be emitted from the v==1 row when no gid-0
@@ -927,6 +945,24 @@ class Scd2Merge:
             F.when((F.col("_gid") == 0) & F.col("_bump"), F.col("_seql"))
         ).over(wka)
         c7 = c6.withColumn("_cd0", cd0).withColumn("_t0b", t0bump)
+        obs = None
+        if use_obs:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            c7 = c7.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(
+                            (F.col("_b") == b) & (F.col("_verdict") == v), 1
+                        ).otherwise(0)
+                    ).alias(f"m_{b}_{v}")
+                    for b in pending
+                    for v in _VERDS
+                ],
+                F.sum("_viol").alias("viol_total"),
+            )
 
         ver_struct = F.when(
             F.col("_app"),
@@ -953,7 +989,9 @@ class Scd2Merge:
         key_expr = F.coalesce(F.col(s.key), h_(s.key, "string"))
         hcols = list(head_types)
         vrows = (
-            c7.groupBy(key_expr.alias("_k"), F.col("_gid").alias("_g"))
+            c7.groupBy(
+                F.col("_bkt"), key_expr.alias("_k"), F.col("_gid").alias("_g")
+            )
             .agg(
                 F.min(ver_struct).alias("_ver"),
                 F.min(grp_cd).alias("_gcd"),
@@ -965,8 +1003,8 @@ class Scd2Merge:
                 F.max("_t0b").alias("_b0"),
             )
         )
-        wv = Window.partitionBy("_k")
-        wvo = Window.partitionBy("_k").orderBy("_g")
+        wv = Window.partitionBy("_bkt", "_k")
+        wvo = Window.partitionBy("_bkt", "_k").orderBy("_g")
         vr = (
             vrows.withColumn("_m", F.max("_g").over(wv))
             .withColumn("_nxt_ts", F.lead(F.col("_ver.ts")).over(wvo))
@@ -1115,12 +1153,11 @@ class Scd2Merge:
             if b in table.hist.committed_batch_ids():
                 hist_committed.add(b)
         hist_needed = len(hist_committed) < len(pending)
+        # no write-side exchange: the frame has been bucket-partitioned
+        # since right after the join, so each (dest, bucket) dir receives
+        # exactly one task's file
         tagged = (
-            vr.repartition(
-                max(len(affected), 1),
-                F.coalesce(F.col("_ver.bkt"), hv(BUCKET_COL, "int")),
-            )
-            .select(F.explode(F.array(head_or_hist, second)).alias("_r"))
+            vr.select(F.explode(F.array(head_or_hist, second)).alias("_r"))
             .filter(F.col("_r").isNotNull())
         )
         if not hist_needed:
@@ -1130,6 +1167,24 @@ class Scd2Merge:
         staged_head, staged_hist = table.head.stage_tagged(
             table.hist, tagged, affected, out_schema
         )
+        if obs is not None:
+            mrow = obs.get
+            if int(mrow.get("viol_total") or 0) > 0:
+                # out-of-order tail detected AFTER staging: the staged dirs
+                # were never published (manifests are the source of truth) —
+                # drop them and hand the window back for per-batch replay
+                import shutil
+
+                for t_, st_ in ((table.head, staged_head), (table.hist, staged_hist)):
+                    shutil.rmtree(
+                        os.path.join(t_.path, st_["rel_dir"]), ignore_errors=True
+                    )
+                return None
+            for b in pending:
+                for v in _VERDS:
+                    n = mrow.get(f"m_{b}_{v}") or 0
+                    if n:
+                        vmap[b][v] = int(n)
 
         metrics_by_batch: dict[int, dict[str, Any]] = {}
         for b in pending:
