@@ -30,6 +30,9 @@ from pyelt_spark.operators.prefetch import run_lane_one_ahead
 from pyelt_spark.plans.pipeline import TranscriptVault
 
 
+from pyelt_spark.plans.pipe import _window_sized  # noqa: F401  (shared gate)
+
+
 class MicrobatchRunner:
     def __init__(self, vault: TranscriptVault, prefetch: bool = True):
         self.vault = vault
@@ -107,14 +110,18 @@ class MicrobatchRunner:
             )
             .select("_b", F.col("s.t").alias("t"), F.col("s.k").alias("k"))
             .filter(F.col("k").isNotNull())
-            .distinct()
+            .groupBy("_b", "t", "k")
+            .agg(F.count("*").alias("n"))
             .collect()
         )
         affected: dict[int, dict[str, list[int]]] = {}
+        rows_per: dict[tuple[int, str], int] = {}
         for r in rows:
             affected.setdefault(int(r["_b"]), {}).setdefault(r["t"], []).append(
                 int(r["k"])
             )
+            key = (int(r["_b"]), r["t"])
+            rows_per[key] = rows_per.get(key, 0) + int(r["n"])
         # every table is probed unconditionally, so a missing entry for a
         # batch PROVES that table gets no rows there — record the empty
         # list and the vault skips that merge without any Spark job (the
@@ -205,6 +212,10 @@ class MicrobatchRunner:
         def _try_window(name: str) -> bool:
             ids_t = _window_ids(name)
             aff_t = _window_aff(name)
+            if not _window_sized(
+                v.spark, sum(rows_per.get((b, name), 0) for b in ids_t)
+            ):
+                return False
             if name == "sat":
                 res = sat_merge.apply_batches(
                     v.sat, events, batch_col, ids_t, lineage={},
