@@ -130,6 +130,66 @@ def test_window_hub_and_link_match_sequential(spark, tmp_path):
         ev.unpersist()
 
 
+def test_window_matches_sequential_across_schema_evolution(spark, tmp_path):
+    """Head rows seeded under an OLD hash recipe, then a window whose
+    batches carry an evolved payload column: the chain's first comparison
+    must run under the head row's recipe version (no spurious reversions),
+    rows with real new-column information must re-version, and deletes /
+    bumps / inserts inside the window must all match sequential
+    application — state and per-batch metrics alike."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    TS = datetime.datetime(2020, 1, 1)
+
+    def mk(rows, with_meta):
+        schema = (
+            "seq long, conv_id string, turn_idx int, role string, text string, "
+            "tool string, op string, ts timestamp"
+            + (", meta string" if with_meta else "")
+            + ", batch_id int"
+        )
+        return spark.createDataFrame(rows, schema)
+
+    m3 = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool"],
+        order_by=["seq"],
+    )
+    m4 = Scd2Merge(
+        business_keys=["conv_id", "turn_idx"],
+        payload_cols=["role", "text", "tool", "meta"],
+        order_by=["seq"],
+    )
+    seed = [(1, "c1", 0, "user", "x", None, "U", TS, 0),
+            (2, "c2", 0, "user", "y", None, "U", TS, 0)]
+    evo = [
+        (10, "c1", 0, "user", "x", None, "U", TS, None, 1),   # unchanged (old recipe)
+        (11, "c2", 0, "user", "y2", None, "U", TS, None, 1),  # update
+        (20, "c1", 0, "user", "x", None, "U", TS, None, 2),   # unchanged → bump
+        (21, "c3", 0, "user", "z", None, "U", TS, "M3", 2),   # insert w/ meta
+        (30, "c2", 0, None, None, None, "D", TS, None, 3),    # delete
+        (31, "c1", 0, "user", "x", "tool1", "U", TS, None, 3),  # update
+    ]
+    t_seq = Scd2Table(spark, str(tmp_path / "seq"), num_buckets=4)
+    t_win = Scd2Table(spark, str(tmp_path / "win"), num_buckets=4)
+    for t in (t_seq, t_win):
+        m3.apply_batch(t, mk(seed, False), 0)
+    ev = mk(evo, True)
+    sm = {
+        b: m4.apply_batch(t_seq, ev.filter(F.col("batch_id") == b), b)
+        for b in (1, 2, 3)
+    }
+    wm = m4.apply_batches(t_win, ev, "batch_id", [1, 2, 3])
+    assert wm is not None, "window path unexpectedly fell back"
+    _assert_same(t_seq.head.read(), t_win.head.read(), "head")
+    _assert_same(t_seq.hist.read(), t_win.hist.read(), "hist")
+    for b in (1, 2, 3):
+        for k in ("inserted", "updated", "deleted", "unchanged", "deduped_keys"):
+            assert sm[b][k] == wm[b][k], (b, k)
+
+
 def test_window_runner_replay_matches_serial_vault(spark, tmp_path):
     """End-to-end: the windowed laned runner vs the serial per-batch vault
     loop — bit-identical hub/sat/link state (the equivalence the bench's
