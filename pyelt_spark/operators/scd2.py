@@ -753,9 +753,7 @@ class Scd2Merge:
         recipe = self._evolved_recipe(ev, table)
         payload = recipe.current_cols
         seq_expr = F.col(self.order_by[0]).cast("long")
-        keyed = self._with_keys_and_hashdiff(
-            ev.withColumn(s.key, hash_key(*self.business_keys)), recipe
-        )
+        keyed = ev.withColumn(s.key, hash_key(*self.business_keys))
         keyed = keyed.withColumn(BUCKET_COL, bucket_expr(s.key, table.num_buckets))
         op = (
             F.col(self.op_col)
@@ -777,7 +775,10 @@ class Scd2Merge:
         # the per-key (batch, seq, tiebreak) sort — identical winner to
         # latest_per_key's max_by within each batch slice. This window's
         # exchange is the pass's ONE data shuffle; every later window and
-        # group-by reuses the hash(_key) partitioning and the sort.
+        # group-by reuses the hash(_key) partitioning and the sort. The
+        # versioned hashdiffs are computed AFTER winner selection (same
+        # order as the per-batch path): losers never get hashed and the
+        # 64-char digests never cross the exchange (guide §2.3).
         wsort = Window.partitionBy(s.key).orderBy(
             "_b", *[F.col(c) for c in self.order_by], "_tb"
         )
@@ -785,6 +786,7 @@ class Scd2Merge:
         win = keyed.withColumn(
             "_is_w", nxt_b.isNull() | (nxt_b != F.col("_b"))
         ).filter(F.col("_is_w"))
+        win = self._with_keys_and_hashdiff(win, recipe)
 
         if affected_buckets is not None:
             affected = [int(b) for b in affected_buckets]
